@@ -1,0 +1,117 @@
+"""Transformer block stack (reference attention.py:279-332).
+
+Per layer: optional PEG (depthwise 3D conv over the token grid) -> self-attn
+(additive bias + key-padding mask, optionally causal+ALiBi) -> optional
+cross-attn over a context sequence (with null-KV for CFG robustness) -> GEGLU
+FF; all residual. Final bias-less LayerNorm.
+
+TPU notes: the layer loop is a Python loop over distinct-parameter layers
+(unrolled at trace time — depths here are <= ~8 so a lax.scan-over-layers
+would only save compile time, not runtime). All matmuls run in the module
+compute dtype (bf16 on TPU) with fp32 softmax/LN inside the primitives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from phenaki_tpu.ops.attention import Attention
+from phenaki_tpu.ops.feedforward import FeedForward
+from phenaki_tpu.ops.norms import LayerNorm
+from phenaki_tpu.ops.positional import PEG
+
+
+class Transformer(nn.Module):
+    dim: int
+    depth: int
+    dim_context: Optional[int] = None
+    causal: bool = False
+    dim_head: int = 64
+    heads: int = 8
+    ff_mult: int = 4
+    peg: bool = False
+    peg_causal: bool = False
+    attn_num_null_kv: int = 2
+    has_cross_attn: bool = False
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # (b, n, dim)
+        video_shape: Optional[Tuple[int, int, int, int]] = None,  # (b, t, h, w)
+        attn_bias: Optional[jax.Array] = None,  # (heads, n, n)
+        context: Optional[jax.Array] = None,  # (b, m, dim_context)
+        self_attn_mask: Optional[jax.Array] = None,  # (b, n)
+        cross_attn_context_mask: Optional[jax.Array] = None,  # (b, m)
+        deterministic: bool = True,
+    ) -> jax.Array:
+        for layer in range(self.depth):
+            if self.peg:
+                x = (
+                    PEG(
+                        self.dim,
+                        causal=self.peg_causal,
+                        dtype=self.dtype,
+                        name=f"layers_{layer}_peg",
+                    )(x, shape=video_shape)
+                    + x
+                )
+
+            x = (
+                Attention(
+                    dim=self.dim,
+                    dim_head=self.dim_head,
+                    heads=self.heads,
+                    causal=self.causal,
+                    dropout=self.attn_dropout,
+                    dtype=self.dtype,
+                    name=f"layers_{layer}_self_attn",
+                )(
+                    x,
+                    attn_bias=attn_bias,
+                    mask=self_attn_mask,
+                    deterministic=deterministic,
+                )
+                + x
+            )
+
+            if self.has_cross_attn and context is not None:
+                x = (
+                    Attention(
+                        dim=self.dim,
+                        dim_head=self.dim_head,
+                        dim_context=self.dim_context,
+                        heads=self.heads,
+                        causal=False,
+                        num_null_kv=self.attn_num_null_kv,
+                        dropout=self.attn_dropout,
+                        dtype=self.dtype,
+                        name=f"layers_{layer}_cross_attn",
+                    )(
+                        x,
+                        context=context,
+                        mask=cross_attn_context_mask,
+                        deterministic=deterministic,
+                    )
+                    + x
+                )
+
+            x = (
+                FeedForward(
+                    dim=self.dim,
+                    mult=self.ff_mult,
+                    dropout=self.ff_dropout,
+                    dtype=self.dtype,
+                    name=f"layers_{layer}_ff",
+                )(x, deterministic=deterministic)
+                + x
+            )
+
+        return LayerNorm(self.dim, dtype=self.dtype, name="norm_out")(x)

@@ -1,0 +1,186 @@
+"""QK-L2-norm cosine attention (SwinV2-style, fixed scale) with null-KV,
+additive bias, key-padding masks, and causal+ALiBi support.
+
+Reference: attention.py:89-182. This is the single hottest op in the stack —
+every transformer (C-ViViT spatial/temporal, MaskGit, TokenCritic,
+discriminator attention) routes through `qk_norm_attention`. The functional
+core is kept separate from the flax module so a fused Pallas kernel can be
+swapped in behind the same interface (see phenaki_tpu/ops/pallas_attention.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from phenaki_tpu.ops.norms import LayerNorm, l2norm
+from phenaki_tpu.ops.positional import alibi_bias
+
+NEG_INF = -1e30
+
+
+def qk_norm_attention(
+    q: jax.Array,  # (b, h, i, d)
+    k: jax.Array,  # (b, h, j, d)
+    v: jax.Array,  # (b, h, j, d)
+    *,
+    scale: float = 8.0,
+    attn_bias: Optional[jax.Array] = None,  # (h, i, j) or (b, h, i, j)
+    key_mask: Optional[jax.Array] = None,  # (b, j) bool, True = attend
+    causal: bool = False,
+    use_alibi: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jax.Array:
+    """Cosine-similarity attention core.
+
+    q and k are expected already L2-normalized and per-dim scaled by the
+    caller (the learned q_scale/k_scale); this function applies the fixed
+    `scale`, biases, masks, softmax (fp32), and the PV matmul.
+    """
+    b, h, i, d = q.shape
+    j = k.shape[2]
+
+    sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
+    sim = sim * scale
+
+    if attn_bias is not None:
+        if attn_bias.ndim == 3:
+            attn_bias = attn_bias[None]
+        sim = sim + attn_bias.astype(sim.dtype)
+
+    if key_mask is not None:
+        sim = jnp.where(key_mask[:, None, None, :], sim, NEG_INF)
+
+    if causal:
+        if use_alibi:
+            sim = sim + alibi_bias(h, i, j)[None]
+        # queries occupy the last i of the j key positions (matches reference
+        # attention.py:173: triu(j - i + 1))
+        q_pos = jnp.arange(i)[:, None] + (j - i)
+        k_pos = jnp.arange(j)[None, :]
+        causal_mask = k_pos <= q_pos
+        sim = jnp.where(causal_mask[None, None], sim, NEG_INF)
+
+    attn = jax.nn.softmax(sim, axis=-1)
+
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, attn.shape)
+        attn = attn * keep / (1.0 - dropout_rate)
+
+    attn = attn.astype(v.dtype)
+    return jnp.einsum("bhij,bhjd->bhid", attn, v)
+
+
+class Attention(nn.Module):
+    """Self- or cross-attention block (reference attention.py:89-182).
+
+    Pre-LN on x (and on context when `norm_context`), no-bias projections,
+    L2-normalized q/k with learned per-dim scales and fixed `scale` (SwinV2),
+    optional learned null key/value pairs (gives cross-attention something to
+    attend to when text conditioning is dropped for CFG), optional causal
+    masking with ALiBi.
+    """
+
+    dim: int
+    dim_context: Optional[int] = None
+    dim_head: int = 64
+    heads: int = 8
+    causal: bool = False
+    num_null_kv: int = 0
+    norm_context: bool = True
+    dropout: float = 0.0
+    scale: float = 8.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # (b, n, dim)
+        mask: Optional[jax.Array] = None,  # (b, j) key padding mask
+        context: Optional[jax.Array] = None,  # (b, m, dim_context)
+        attn_bias: Optional[jax.Array] = None,  # (h, i, j) additive
+        deterministic: bool = True,
+    ) -> jax.Array:
+        batch = x.shape[0]
+        inner_dim = self.dim_head * self.heads
+        dim_context = self.dim_context if self.dim_context is not None else self.dim
+
+        if context is not None:
+            if self.norm_context:
+                context = LayerNorm(dim_context, dtype=self.dtype, name="context_norm")(
+                    context
+                )
+            kv_input = context
+        else:
+            kv_input = None
+
+        x = LayerNorm(self.dim, dtype=self.dtype, name="norm")(x)
+        if kv_input is None:
+            kv_input = x
+
+        q = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        kv = nn.Dense(inner_dim * 2, use_bias=False, dtype=self.dtype, name="to_kv")(
+            kv_input
+        )
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        def split_heads(t):
+            return t.reshape(t.shape[0], t.shape[1], self.heads, self.dim_head).transpose(
+                0, 2, 1, 3
+            )
+
+        q, k, v = map(split_heads, (q, k, v))
+
+        if self.num_null_kv > 0:
+            null_kv = self.param(
+                "null_kv",
+                nn.initializers.normal(1.0),
+                (self.heads, 2 * self.num_null_kv, self.dim_head),
+                jnp.float32,
+            )
+            nk, nv = jnp.split(null_kv.astype(self.dtype), 2, axis=-2)
+            nk = jnp.broadcast_to(nk[None], (batch, *nk.shape))
+            nv = jnp.broadcast_to(nv[None], (batch, *nv.shape))
+            k = jnp.concatenate([nk, k], axis=-2)
+            v = jnp.concatenate([nv, v], axis=-2)
+
+        q_scale = self.param("q_scale", nn.initializers.ones, (self.dim_head,), jnp.float32)
+        k_scale = self.param("k_scale", nn.initializers.ones, (self.dim_head,), jnp.float32)
+
+        q = l2norm(q) * q_scale.astype(self.dtype)
+        k = l2norm(k) * k_scale.astype(self.dtype)
+
+        if attn_bias is not None and self.num_null_kv > 0:
+            pad = [(0, 0)] * (attn_bias.ndim - 1) + [(self.num_null_kv, 0)]
+            attn_bias = jnp.pad(attn_bias, pad)
+
+        if mask is not None and self.num_null_kv > 0:
+            mask = jnp.pad(
+                mask, [(0, 0), (self.num_null_kv, 0)], constant_values=True
+            )
+
+        dropout_rng = None
+        if self.dropout > 0.0 and not deterministic:
+            dropout_rng = self.make_rng("dropout")
+
+        out = qk_norm_attention(
+            q,
+            k,
+            v,
+            scale=self.scale,
+            attn_bias=attn_bias,
+            key_mask=mask,
+            causal=self.causal,
+            use_alibi=self.causal,  # reference ties ALiBi to causal self-attn
+            dropout_rate=self.dropout,
+            dropout_rng=dropout_rng,
+            deterministic=deterministic,
+        )
+
+        out = out.transpose(0, 2, 1, 3).reshape(batch, -1, inner_dim)
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)

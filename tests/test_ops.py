@@ -1,0 +1,186 @@
+"""Unit tests for the L1 primitives (reference attention.py parity-by-behavior)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phenaki_tpu.ops.norms import LayerNorm, StandardLayerNorm, l2norm
+from phenaki_tpu.ops.feedforward import FeedForward, geglu
+from phenaki_tpu.ops.positional import (
+    PEG,
+    ContinuousPositionBias,
+    alibi_bias,
+    alibi_slopes,
+)
+from phenaki_tpu.ops.attention import Attention
+from phenaki_tpu.ops.sampling import (
+    cosine_schedule,
+    get_mask_subset_with_prob,
+    gumbel_sample,
+    topk_mask,
+)
+
+
+def test_l2norm():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8))
+    y = l2norm(x)
+    np.testing.assert_allclose(jnp.linalg.norm(y, axis=-1), 1.0, atol=1e-5)
+
+
+def test_layernorm_no_beta():
+    ln = LayerNorm(16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16)) * 3 + 5
+    params = ln.init(jax.random.PRNGKey(1), x)
+    # only gamma, no beta
+    assert set(params["params"].keys()) == {"gamma"}
+    y = ln.apply(params, x)
+    np.testing.assert_allclose(np.mean(np.asarray(y), -1), 0.0, atol=1e-4)
+    np.testing.assert_allclose(np.std(np.asarray(y), -1), 1.0, atol=1e-2)
+
+
+def test_geglu_matches_manual():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10))
+    a, g = np.split(np.asarray(x), 2, axis=-1)
+    expected = a * (g * 0.5 * (1 + np.vectorize(math.erf)(g / math.sqrt(2))))
+    np.testing.assert_allclose(np.asarray(geglu(x)), expected, atol=1e-5)
+
+
+def test_feedforward_inner_dim():
+    ff = FeedForward(dim=64)
+    x = jnp.zeros((2, 5, 64))
+    params = ff.init(jax.random.PRNGKey(0), x)
+    # inner = 4 * 2/3 * 64 = 170; proj_in maps to 2*inner
+    assert params["params"]["proj_in"]["kernel"].shape == (64, 2 * int(4 * 2 / 3 * 64))
+    assert ff.apply(params, x).shape == (2, 5, 64)
+
+
+def test_alibi_slopes_power_of_two():
+    s = alibi_slopes(8)
+    expected = [2 ** (-i) for i in range(1, 9)]
+    np.testing.assert_allclose(s, expected, rtol=1e-6)
+
+
+def test_alibi_bias_structure():
+    bias = np.asarray(alibi_bias(4, 3, 5))
+    assert bias.shape == (4, 3, 5)
+    # query a sits at absolute position (j - i + a); zero at own position
+    for a in range(3):
+        assert bias[0, a, 5 - 3 + a] == 0.0
+    # strictly decreasing with distance, scaled per-head
+    s = alibi_slopes(4)
+    np.testing.assert_allclose(bias[2, 0, 0], -s[2] * 2, rtol=1e-5)
+
+
+def test_cpb_shapes_and_translation_invariance():
+    cpb = ContinuousPositionBias(dim=32, heads=4, num_dims=2)
+    params = cpb.init(jax.random.PRNGKey(0), 3, 4)
+    bias = cpb.apply(params, 3, 4)
+    assert bias.shape == (4, 12, 12)
+    # relative bias: diagonal entries all equal (zero relative offset)
+    d = np.asarray(jnp.diagonal(bias, axis1=1, axis2=2))
+    np.testing.assert_allclose(d - d[:, :1], np.zeros_like(d), atol=1e-6)
+
+
+def test_peg_causal_does_not_leak_future():
+    peg = PEG(dim=8, causal=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 2, 2, 8))
+    params = peg.init(jax.random.PRNGKey(1), x)
+    y1 = peg.apply(params, x)
+    x2 = x.at[:, 2:].set(0.0)  # perturb future frames
+    y2 = peg.apply(params, x2)
+    # frames 0..1 must be identical (causal frame padding (2, 0))
+    np.testing.assert_allclose(np.asarray(y1[:, :2]), np.asarray(y2[:, :2]), atol=1e-5)
+    assert not np.allclose(np.asarray(y1[:, 2:]), np.asarray(y2[:, 2:]))
+
+
+def test_peg_flat_sequence_matches_grid():
+    peg = PEG(dim=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 4, 4, 8))
+    params = peg.init(jax.random.PRNGKey(1), x)
+    y_grid = peg.apply(params, x)
+    x_flat = x.reshape(2, -1, 8)
+    y_flat = peg.apply(params, x_flat, shape=(2, 3, 4, 4))
+    np.testing.assert_allclose(
+        np.asarray(y_grid).reshape(2, -1, 8), np.asarray(y_flat), atol=1e-5
+    )
+
+
+def test_attention_self_shapes_and_causality():
+    attn = Attention(dim=32, dim_head=16, heads=2, causal=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 32))
+    params = attn.init(jax.random.PRNGKey(1), x)
+    y1 = attn.apply(params, x)
+    assert y1.shape == (2, 6, 32)
+    x2 = x.at[:, 4:].set(0.0)
+    y2 = attn.apply(params, x2)
+    np.testing.assert_allclose(np.asarray(y1[:, :4]), np.asarray(y2[:, :4]), atol=1e-5)
+
+
+def test_attention_key_mask():
+    attn = Attention(dim=32, dim_head=16, heads=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 32))
+    params = attn.init(jax.random.PRNGKey(1), x)
+    mask = jnp.ones((2, 6), bool).at[:, 4:].set(False)
+    y1 = attn.apply(params, x, mask=mask)
+    x2 = x.at[:, 4:].set(99.0)  # only changes masked-out keys...
+    # ...but also changes those queries' own outputs; compare unmasked rows
+    y2 = attn.apply(params, x2, mask=mask)
+    np.testing.assert_allclose(np.asarray(y1[:, :4]), np.asarray(y2[:, :4]), atol=1e-4)
+
+
+def test_attention_cross_with_null_kv_handles_fully_masked_context():
+    attn = Attention(dim=32, dim_context=16, dim_head=16, heads=2, num_null_kv=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 32))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 16))
+    params = attn.init(jax.random.PRNGKey(1), x, context=ctx)
+    mask = jnp.zeros((2, 7), bool)  # CFG null branch: everything dropped
+    y = attn.apply(params, x, context=ctx, mask=mask)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_attention_bias_shifts_output():
+    attn = Attention(dim=32, dim_head=16, heads=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 32))
+    params = attn.init(jax.random.PRNGKey(1), x)
+    bias = jnp.zeros((2, 4, 4)).at[:, :, 0].set(50.0)  # force attending token 0
+    y = attn.apply(params, x, attn_bias=bias)
+    yb = attn.apply(params, x)
+    assert not np.allclose(np.asarray(y), np.asarray(yb))
+
+
+def test_get_mask_subset_exact_counts():
+    rng = jax.random.PRNGKey(0)
+    mask = jnp.ones((4, 20), bool).at[1, 10:].set(False)
+    prob = jnp.asarray([0.5, 0.5, 0.1, 0.9])
+    sub = get_mask_subset_with_prob(rng, mask, prob)
+    counts = np.asarray(jnp.sum(sub, -1))
+    np.testing.assert_array_equal(counts, [10, 5, 2, 18])
+    # never masks padded positions
+    assert not np.any(np.asarray(sub)[1, 10:])
+
+
+def test_get_mask_subset_min_one():
+    sub = get_mask_subset_with_prob(jax.random.PRNGKey(0), jnp.ones((2, 8), bool), 0.0)
+    np.testing.assert_array_equal(np.asarray(jnp.sum(sub, -1)), [1, 1])
+
+
+def test_topk_mask():
+    scores = jnp.asarray([[3.0, 1.0, 2.0, 5.0], [0.0, -1.0, 7.0, 2.0]])
+    m = np.asarray(topk_mask(scores, jnp.asarray([2, 1])))
+    np.testing.assert_array_equal(m, [[True, False, False, True], [False, False, True, False]])
+    m2 = np.asarray(topk_mask(scores, 3))
+    assert m2.sum() == 6
+
+
+def test_gumbel_sample_zero_temperature_is_argmax():
+    logits = jnp.asarray([[0.0, 5.0, 1.0]])
+    out = gumbel_sample(jax.random.PRNGKey(0), logits, temperature=0.0)
+    assert int(out[0]) == 1
+
+
+def test_cosine_schedule_endpoints():
+    assert float(cosine_schedule(0.0)) == pytest.approx(1.0)
+    assert float(cosine_schedule(1.0)) == pytest.approx(0.0, abs=1e-7)
