@@ -1,0 +1,294 @@
+"""VQGAN loss suite for C-ViViT training (reference cvivit.py:59-103,585-671).
+
+Pure jittable functions. The reference computes the adaptive generator weight
+with two extra `torch.autograd.grad` passes over the last decoder layer; here
+those are two explicit `jax.grad` calls over a *restricted* function of the
+pixel-head kernel only (decoder activations treated as constants), exactly
+the gradient the reference computes but without retain_graph machinery.
+
+Losses:
+  * masked MSE reconstruction (variable-length video, cvivit.py:585-591)
+  * VGG16 perceptual loss on one random frame per video (cvivit.py:635-648)
+  * hinge / BCE GAN losses (cvivit.py:85-95)
+  * R1-style gradient penalty on real frames, weight 10 (cvivit.py:59-72)
+  * adaptive generator weight = ||∂perc/∂W_pix|| / ||∂gen/∂W_pix||, clamped
+    at 1e4 (cvivit.py:97-103,654-662)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from phenaki_tpu.models.cvivit import CViViT, Discriminator
+from phenaki_tpu.models.vgg import VGG16Features
+
+# --------------------------- gan losses ---------------------------------- #
+
+
+def hinge_discr_loss(fake: jax.Array, real: jax.Array) -> jax.Array:
+    return jnp.mean(jax.nn.relu(1 + fake) + jax.nn.relu(1 - real))
+
+
+def hinge_gen_loss(fake: jax.Array) -> jax.Array:
+    return -jnp.mean(fake)
+
+
+def _log(t, eps=1e-10):
+    return jnp.log(t + eps)
+
+
+def bce_discr_loss(fake: jax.Array, real: jax.Array) -> jax.Array:
+    return jnp.mean(-_log(1 - jax.nn.sigmoid(fake)) - _log(jax.nn.sigmoid(real)))
+
+
+def bce_gen_loss(fake: jax.Array) -> jax.Array:
+    return jnp.mean(-_log(jax.nn.sigmoid(fake)))
+
+
+def safe_div(numer, denom, eps=1e-8):
+    return numer / (denom + eps)
+
+
+# --------------------------- frame picking -------------------------------- #
+
+
+def pick_random_frame_indices(
+    rng: jax.Array, batch: int, frames: int, mask: Optional[jax.Array] = None
+) -> jax.Array:
+    """One random unpadded frame index per video (reference cvivit.py:595-601)."""
+    logits = jax.random.normal(rng, (batch, frames))
+    if mask is not None:
+        logits = jnp.where(mask, logits, -jnp.inf)
+    return jnp.argmax(logits, axis=-1)
+
+
+def pick_video_frame(video: jax.Array, frame_indices: jax.Array) -> jax.Array:
+    """video (b, f, H, W, c), indices (b,) -> frames (b, H, W, c)
+    (reference pick_video_frame, cvivit.py:217-224)."""
+    return jnp.take_along_axis(
+        video, frame_indices[:, None, None, None, None], axis=1
+    )[:, 0]
+
+
+# --------------------------- recon loss ----------------------------------- #
+
+
+def masked_recon_loss(
+    video: jax.Array, recon: jax.Array, mask: Optional[jax.Array]
+) -> jax.Array:
+    """MSE; with a (b, f) frame mask only unmasked frames count
+    (reference cvivit.py:585-591)."""
+    err = (video.astype(jnp.float32) - recon.astype(jnp.float32)) ** 2
+    if mask is None:
+        return jnp.mean(err)
+    w = mask.astype(jnp.float32)[:, :, None, None, None]
+    denom = jnp.maximum(jnp.sum(w) * err.shape[2] * err.shape[3] * err.shape[4], 1.0)
+    return jnp.sum(err * w) / denom
+
+
+# --------------------------- generator loss -------------------------------- #
+
+
+def cvivit_generator_loss(
+    cvivit: CViViT,
+    vae_vars: Dict[str, Any],
+    video: jax.Array,
+    rng: jax.Array,
+    *,
+    mask: Optional[jax.Array] = None,
+    discr: Optional[Discriminator] = None,
+    discr_vars: Optional[Dict[str, Any]] = None,
+    vgg: Optional[VGG16Features] = None,
+    vgg_vars: Optional[Dict[str, Any]] = None,
+    use_vgg_and_gan: bool = True,
+    use_hinge_loss: bool = True,
+    deterministic: bool = False,
+    mutable_vq: bool = False,
+):
+    """Full generator-phase loss (reference cvivit.py:518-671 forward path).
+
+    Returns ((loss, aux_dict), new_vq_state) where aux_dict has the loss
+    breakdown and the reconstruction. `video`: (b, f, H, W, c) or image
+    (b, H, W, c).
+    """
+    rng_frame, rng_dropout = jax.random.split(rng)
+
+    mutable = ["vq_stats"] if mutable_vq else False
+    rngs = {"dropout": rng_dropout}
+    out = cvivit.apply(
+        vae_vars,
+        video,
+        mask=mask,
+        deterministic=deterministic,
+        update_codebook=mutable_vq,
+        method=CViViT.forward_intermediates,
+        rngs=rngs,
+        mutable=mutable,
+    )
+    if mutable_vq:
+        out, new_vq_state = out
+    else:
+        new_vq_state = None
+
+    is_image = video.ndim == 4
+    video5 = video[:, None] if is_image else video
+    recon5 = out["recon_video"][:, None] if is_image else out["recon_video"]
+
+    recon_loss = masked_recon_loss(video5, recon5, mask)
+    vq_aux_loss = out["vq_aux_loss"]
+
+    aux = dict(
+        recon_loss=recon_loss,
+        vq_aux_loss=vq_aux_loss,
+        recon_video=out["recon_video"],
+    )
+
+    if not use_vgg_and_gan:
+        loss = recon_loss + vq_aux_loss
+        aux["loss"] = loss
+        return (loss, aux), new_vq_state
+
+    assert discr is not None and discr_vars is not None
+    assert vgg is not None and vgg_vars is not None
+
+    b, f = video5.shape[:2]
+    frame_indices = pick_random_frame_indices(rng_frame, b, f, mask)
+    input_frame = pick_video_frame(video5, frame_indices)
+
+    vgg_input_feats = vgg.apply(vgg_vars, input_frame)
+
+    # functions of the pixel-head params only: decoder activations constant.
+    # This is exactly what grad_layer_wrt_loss computes (cvivit.py:97-103) —
+    # the gradient of each scalar loss w.r.t. the last decoder (pixel) layer.
+    dec_tokens = out["dec_tokens"]
+
+    def recon_from_pixel_params(pix_params):
+        vars2 = dict(vae_vars)
+        params2 = dict(vae_vars["params"])
+        params2["to_pixels_first"] = pix_params["to_pixels_first"]
+        params2["to_pixels_rest"] = pix_params["to_pixels_rest"]
+        vars2["params"] = params2
+        return cvivit.apply(
+            vars2, jax.lax.stop_gradient(dec_tokens), method=CViViT.to_pixels
+        )
+
+    pix_params = {
+        "to_pixels_first": vae_vars["params"]["to_pixels_first"],
+        "to_pixels_rest": vae_vars["params"]["to_pixels_rest"],
+    }
+
+    def perceptual_of(pp):
+        r5 = recon_from_pixel_params(pp)
+        frame = pick_video_frame(r5, frame_indices)
+        feats = vgg.apply(vgg_vars, frame)
+        return jnp.mean(
+            (vgg_input_feats.astype(jnp.float32) - feats.astype(jnp.float32)) ** 2
+        )
+
+    gen_loss_fn = hinge_gen_loss if use_hinge_loss else bce_gen_loss
+
+    def gen_of(pp):
+        r5 = recon_from_pixel_params(pp)
+        frame = pick_video_frame(r5, frame_indices)
+        return gen_loss_fn(discr.apply(discr_vars, frame))
+
+    # actual loss values, differentiable w.r.t. the full vae params
+    recon_frame = pick_video_frame(recon5, frame_indices)
+    recon_vgg_feats = vgg.apply(vgg_vars, recon_frame)
+    perceptual_loss = jnp.mean(
+        (vgg_input_feats.astype(jnp.float32) - recon_vgg_feats.astype(jnp.float32)) ** 2
+    )
+    gen_loss = gen_loss_fn(discr.apply(discr_vars, recon_frame))
+
+    # adaptive weight (detached, reference cvivit.py:654-662)
+    def _global_norm(tree):
+        leaves = jax.tree_util.tree_leaves(tree)
+        return jnp.sqrt(sum(jnp.sum(l.astype(jnp.float32) ** 2) for l in leaves))
+
+    g_perc = jax.grad(perceptual_of)(pix_params)
+    g_gen = jax.grad(gen_of)(pix_params)
+    adaptive_weight = safe_div(_global_norm(g_perc), _global_norm(g_gen))
+    adaptive_weight = jax.lax.stop_gradient(jnp.clip(adaptive_weight, None, 1e4))
+
+    loss = recon_loss + perceptual_loss + vq_aux_loss + adaptive_weight * gen_loss
+
+    aux.update(
+        perceptual_loss=perceptual_loss,
+        gen_loss=gen_loss,
+        adaptive_weight=adaptive_weight,
+        loss=loss,
+    )
+    return (loss, aux), new_vq_state
+
+
+# --------------------------- discriminator loss ---------------------------- #
+
+
+def gradient_penalty(
+    discr: Discriminator, discr_vars, images: jax.Array, weight: float = 10.0
+) -> jax.Array:
+    """R1-ish penalty: ( ||d logits / d image||_2 − 1 )^2, mean over batch
+    (reference cvivit.py:59-72)."""
+
+    def logit_sum(im):
+        return jnp.sum(discr.apply(discr_vars, im))
+
+    grads = jax.grad(logit_sum)(images.astype(jnp.float32))
+    grads = grads.reshape(grads.shape[0], -1)
+    norms = jnp.linalg.norm(grads, axis=1)
+    return weight * jnp.mean((norms - 1.0) ** 2)
+
+
+def cvivit_discriminator_loss(
+    cvivit: CViViT,
+    discr: Discriminator,
+    vae_vars: Dict[str, Any],
+    discr_vars: Dict[str, Any],
+    video: jax.Array,
+    rng: jax.Array,
+    *,
+    mask: Optional[jax.Array] = None,
+    apply_grad_penalty: bool = True,
+    use_hinge_loss: bool = True,
+):
+    """Discriminator-phase loss (reference cvivit.py:605-625).
+
+    Reconstruction is recomputed under stop_gradient; one random frame per
+    video is judged real-vs-fake; optional gradient penalty on the real frame.
+    Returns (loss, aux_dict).
+    """
+    rng_frame, rng_dropout = jax.random.split(rng)
+
+    is_image = video.ndim == 4
+    video5 = video[:, None] if is_image else video
+
+    recon, _, _ = cvivit.apply(
+        vae_vars,
+        video,
+        mask=mask,
+        deterministic=True,
+        rngs={"dropout": rng_dropout},
+    )
+    recon5 = recon[:, None] if is_image else recon
+    recon5 = jax.lax.stop_gradient(recon5)
+
+    b, f = video5.shape[:2]
+    frame_indices = pick_random_frame_indices(rng_frame, b, f, mask)
+    real_frame = pick_video_frame(video5, frame_indices)
+    fake_frame = pick_video_frame(recon5, frame_indices)
+
+    fake_logits = discr.apply(discr_vars, fake_frame)
+    real_logits = discr.apply(discr_vars, real_frame)
+
+    loss_fn = hinge_discr_loss if use_hinge_loss else bce_discr_loss
+    discr_loss = loss_fn(fake_logits, real_logits)
+
+    gp = jnp.asarray(0.0)
+    if apply_grad_penalty:
+        gp = gradient_penalty(discr, discr_vars, real_frame)
+
+    loss = discr_loss + gp
+    return loss, dict(discr_loss=discr_loss, grad_penalty=gp, loss=loss)

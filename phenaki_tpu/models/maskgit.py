@@ -1,0 +1,303 @@
+"""MaskGit, TokenCritic, and SelfCritic (reference phenaki_pytorch.py:105-336).
+
+MaskGit: bidirectional transformer over the flattened video-token grid.
+Token embedding includes an extra `mask_id = num_tokens` row; learned absolute
+position embedding; gradient-shrink alpha=0.1 (CogView/GLM-130B trick);
+3-D continuous position bias over the (t, h, w) patch grid; PEG; cross-attn
+text conditioning with 2 null-KV pairs (unless unconditional); logits head.
+
+Classifier-free guidance: the reference runs two forwards (cond + null,
+phenaki_pytorch.py:149-161). Here `forward_with_cond_scale` stacks the cond
+and null branches on the batch axis and runs ONE forward — twice the batch on
+the MXU beats two launches, and it keeps the decode scan a single fused
+program.
+
+Conditioning dropout: the reference zeroes rows of the text mask
+(phenaki_pytorch.py:188-190). Same here, driven by an explicit rng.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from phenaki_tpu.models.transformer import Transformer
+from phenaki_tpu.ops.positional import ContinuousPositionBias
+
+
+class MaskGit(nn.Module):
+    dim: int
+    num_tokens: int
+    max_seq_len: int
+    gradient_shrink_alpha: float = 0.1
+    heads: int = 8
+    dim_head: int = 64
+    depth: int = 6
+    unconditional: bool = False
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
+    dim_context: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def mask_id(self) -> int:
+        return self.num_tokens
+
+    def setup(self):
+        # last token row is the mask_id (reference phenaki_pytorch.py:123-126)
+        self.token_emb = nn.Embed(self.num_tokens + 1, self.dim, dtype=self.dtype)
+        self.pos_emb = nn.Embed(self.max_seq_len, self.dim, dtype=self.dtype)
+        self.continuous_pos_bias = ContinuousPositionBias(
+            dim=self.dim_head, heads=self.heads, num_dims=3, dtype=self.dtype
+        )
+        self.transformer = Transformer(
+            dim=self.dim,
+            depth=self.depth,
+            attn_num_null_kv=2,
+            has_cross_attn=not self.unconditional,
+            dim_head=self.dim_head,
+            heads=self.heads,
+            attn_dropout=self.attn_dropout,
+            ff_dropout=self.ff_dropout,
+            peg=True,
+            dim_context=self.dim_context,
+            dtype=self.dtype,
+        )
+        self.to_logits = nn.Dense(self.num_tokens, dtype=self.dtype)
+
+    def __call__(
+        self,
+        x: jax.Array,  # (b, n) or (b, t, h, w) token ids
+        *,
+        video_patch_shape: Optional[Tuple[int, int, int]] = None,
+        cond_drop_prob: float = 0.0,
+        text_mask: Optional[jax.Array] = None,  # (b, m)
+        video_mask: Optional[jax.Array] = None,  # (b, n)
+        context: Optional[jax.Array] = None,  # (b, m, dim_context)
+        return_embeds: bool = False,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        assert x.ndim in (2, 4), "token ids must be (b, n) or (b, t, h, w)"
+        if x.ndim == 4:
+            video_patch_shape = x.shape[1:]
+            x = x.reshape(x.shape[0], -1)
+        assert video_patch_shape is not None, "video patch shape must be given"
+
+        b, n = x.shape
+        assert n <= self.max_seq_len, (
+            f"sequence length {n} exceeds max_seq_len {self.max_seq_len}"
+        )
+
+        rel_pos_bias = self.continuous_pos_bias(*video_patch_shape)
+
+        if context is not None and text_mask is None:
+            text_mask = jnp.ones(context.shape[:2], dtype=bool)
+
+        if cond_drop_prob > 0 and text_mask is not None:
+            # whole-sample conditioning dropout for CFG
+            keep = jax.random.bernoulli(
+                self.make_rng("cond_drop"), 1.0 - cond_drop_prob, (b,)
+            )
+            text_mask = text_mask & keep[:, None]
+
+        video_shape = (b, *video_patch_shape)
+
+        h = self.token_emb(x)
+        h = h + self.pos_emb(jnp.arange(n))[None]
+
+        # gradient shrink (reference phenaki_pytorch.py:131,199)
+        a = self.gradient_shrink_alpha
+        h = h * a + jax.lax.stop_gradient(h) * (1 - a)
+
+        h = self.transformer(
+            h,
+            video_shape=video_shape,
+            attn_bias=rel_pos_bias,
+            context=context,
+            self_attn_mask=video_mask,
+            cross_attn_context_mask=text_mask,
+            deterministic=deterministic,
+        )
+
+        if return_embeds:
+            return h
+        return self.to_logits(h)
+
+    def forward_with_cond_scale(
+        self,
+        x: jax.Array,
+        *,
+        cond_scale: float = 3.0,
+        text_mask: Optional[jax.Array] = None,
+        context: Optional[jax.Array] = None,
+        **kwargs,
+    ) -> jax.Array:
+        """CFG: null + (cond - null) * scale, batched into one forward."""
+        if cond_scale == 1 or self.unconditional or context is None:
+            return self(x, text_mask=text_mask, context=context, **kwargs)
+
+        if text_mask is None:
+            text_mask = jnp.ones(context.shape[:2], dtype=bool)
+
+        x2 = jnp.concatenate([x, x], axis=0)
+        ctx2 = jnp.concatenate([context, context], axis=0)
+        mask2 = jnp.concatenate([text_mask, jnp.zeros_like(text_mask)], axis=0)
+        vm = kwargs.pop("video_mask", None)
+        if vm is not None:
+            vm = jnp.concatenate([vm, vm], axis=0)
+
+        logits2 = self(x2, text_mask=mask2, context=ctx2, video_mask=vm, **kwargs)
+        logits, null_logits = jnp.split(logits2, 2, axis=0)
+        return null_logits + (logits - null_logits) * cond_scale
+
+
+class TokenCritic(nn.Module):
+    """Same trunk shape as MaskGit but a scalar per-token logit head
+    (reference phenaki_pytorch.py:217-302)."""
+
+    dim: int
+    num_tokens: int
+    max_seq_len: int
+    has_cross_attn: bool = False
+    heads: int = 8
+    dim_head: int = 64
+    depth: int = 6
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
+    dim_context: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def mask_id(self) -> int:
+        return self.num_tokens
+
+    def setup(self):
+        self.token_emb = nn.Embed(self.num_tokens + 1, self.dim, dtype=self.dtype)
+        self.pos_emb = nn.Embed(self.max_seq_len, self.dim, dtype=self.dtype)
+        self.transformer = Transformer(
+            dim=self.dim,
+            depth=self.depth,
+            peg=True,
+            attn_dropout=self.attn_dropout,
+            ff_dropout=self.ff_dropout,
+            has_cross_attn=self.has_cross_attn,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            dim_context=self.dim_context,
+            dtype=self.dtype,
+        )
+        self.to_logits = nn.Dense(1, dtype=self.dtype)
+
+    def __call__(
+        self,
+        x: jax.Array,  # (b, n) or (b, t, h, w)
+        *,
+        video_patch_shape: Optional[Tuple[int, int, int]] = None,
+        cond_drop_prob: float = 0.0,
+        text_mask: Optional[jax.Array] = None,
+        video_mask: Optional[jax.Array] = None,
+        context: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        if x.ndim == 4:
+            video_patch_shape = x.shape[1:]
+            x = x.reshape(x.shape[0], -1)
+        b, n = x.shape
+
+        if video_patch_shape is not None:
+            video_shape = (b, *video_patch_shape)
+        else:
+            video_shape = None
+
+        if context is not None and text_mask is None:
+            text_mask = jnp.ones(context.shape[:2], dtype=bool)
+
+        if context is not None and cond_drop_prob > 0 and text_mask is not None:
+            keep = jax.random.bernoulli(
+                self.make_rng("cond_drop"), 1.0 - cond_drop_prob, (b,)
+            )
+            text_mask = text_mask & keep[:, None]
+
+        h = self.token_emb(x)
+        h = h + self.pos_emb(jnp.arange(n))[None]
+
+        h = self.transformer(
+            h,
+            video_shape=video_shape,
+            context=context,
+            self_attn_mask=video_mask,
+            cross_attn_context_mask=text_mask,
+            deterministic=deterministic,
+        )
+        return self.to_logits(h)[..., 0]
+
+    def forward_with_cond_scale(
+        self,
+        x: jax.Array,
+        *,
+        cond_scale: float = 3.0,
+        text_mask: Optional[jax.Array] = None,
+        context: Optional[jax.Array] = None,
+        **kwargs,
+    ) -> jax.Array:
+        if cond_scale == 1 or context is None or not self.has_cross_attn:
+            return self(x, text_mask=text_mask, context=context, **kwargs)
+
+        if text_mask is None:
+            text_mask = jnp.ones(context.shape[:2], dtype=bool)
+
+        x2 = jnp.concatenate([x, x], axis=0)
+        ctx2 = jnp.concatenate([context, context], axis=0)
+        mask2 = jnp.concatenate([text_mask, jnp.zeros_like(text_mask)], axis=0)
+        vm = kwargs.pop("video_mask", None)
+        if vm is not None:
+            vm = jnp.concatenate([vm, vm], axis=0)
+
+        logits2 = self(x2, text_mask=mask2, context=ctx2, video_mask=vm, **kwargs)
+        logits, null_logits = jnp.split(logits2, 2, axis=0)
+        return null_logits + (logits - null_logits) * cond_scale
+
+
+class SelfCritic(nn.Module):
+    """Reuses the MaskGit trunk (return_embeds) + a linear scalar head —
+    zero extra transformer params (reference phenaki_pytorch.py:307-336).
+
+    Share parameters by passing the *same* maskgit params under 'maskgit' in
+    this module's param tree (Phenaki wires this up).
+    """
+
+    maskgit: MaskGit
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *args, **kwargs) -> jax.Array:
+        embeds = self.maskgit(x, *args, return_embeds=True, **kwargs)
+        return nn.Dense(1, dtype=self.maskgit.dtype, name="to_pred")(embeds)[..., 0]
+
+    def forward_with_cond_scale(
+        self,
+        x: jax.Array,
+        *,
+        cond_scale: float = 3.0,
+        text_mask: Optional[jax.Array] = None,
+        context: Optional[jax.Array] = None,
+        **kwargs,
+    ) -> jax.Array:
+        if cond_scale == 1 or context is None or self.maskgit.unconditional:
+            return self(x, text_mask=text_mask, context=context, **kwargs)
+
+        if text_mask is None:
+            text_mask = jnp.ones(context.shape[:2], dtype=bool)
+
+        x2 = jnp.concatenate([x, x], axis=0)
+        ctx2 = jnp.concatenate([context, context], axis=0)
+        mask2 = jnp.concatenate([text_mask, jnp.zeros_like(text_mask)], axis=0)
+        vm = kwargs.pop("video_mask", None)
+        if vm is not None:
+            vm = jnp.concatenate([vm, vm], axis=0)
+
+        logits2 = self(x2, text_mask=mask2, context=ctx2, video_mask=vm, **kwargs)
+        logits, null_logits = jnp.split(logits2, 2, axis=0)
+        return null_logits + (logits - null_logits) * cond_scale

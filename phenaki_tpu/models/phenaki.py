@@ -1,0 +1,544 @@
+"""Phenaki: composition of frozen C-ViViT + MaskGit (+ critic) with T5 text
+conditioning, the masked-token training loss, and the jitted sampling loop.
+
+Reference: phenaki_pytorch.py:341-714. Differences by design:
+
+  * `Phenaki` is a plain Python orchestrator over pure/jitted functions, not a
+    framework Module: it owns the module *definitions* plus the frozen C-ViViT
+    variables, and the trainable (maskgit/critic) variables live in an
+    explicit pytree that trainers thread through jitted steps.
+  * Sampling (`sample`, `sample_images`) runs as ONE compiled program per
+    static shape: prime tokenization -> lax.scan decode loop -> C-ViViT decode
+    (see sampling_loop.py). Compiled programs are cached per static config.
+  * Reference quirk Q1 fixed: conditioning dropout actually fires during
+    training with prob `cond_drop_prob` (the reference zeroes it at
+    phenaki_pytorch.py:594 and never drops).
+  * Text embeddings are padded/truncated to the static `max_text_len` so text
+    length never triggers recompilation.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from phenaki_tpu.models.cvivit import CViViT
+from phenaki_tpu.models.maskgit import MaskGit, SelfCritic, TokenCritic
+from phenaki_tpu.models.sampling_loop import maskgit_sample_loop
+from phenaki_tpu.ops.sampling import get_mask_subset_with_prob, gumbel_sample
+from phenaki_tpu.text.t5 import DEFAULT_T5_NAME, get_encoded_dim, t5_encode_text
+
+
+def exists(v):
+    return v is not None
+
+
+def cast_tuple(val, length=1):
+    return val if isinstance(val, tuple) else (val,) * length
+
+
+class Phenaki:
+    def __init__(
+        self,
+        *,
+        maskgit: MaskGit,
+        cvivit: CViViT,
+        cvivit_vars: Dict[str, Any],
+        critic: Optional[TokenCritic] = None,
+        steps: int = 18,  # 18 is the ideal steps with token critic
+        t5_name: str = DEFAULT_T5_NAME,
+        sample_temperature: float = 0.0,
+        text_embed_dim: Optional[int] = None,
+        cond_drop_prob: float = 0.25,
+        max_text_len: int = 128,
+        self_token_critic: bool = False,
+        critic_loss_weight: float = 1.0,
+        critic_noise_anneal_schedule: str = "decay",
+        critic_train_sample_temperature: float = 1.0,
+    ):
+        self.cvivit = cvivit
+        self.cvivit_vars = jax.tree_util.tree_map(
+            jax.lax.stop_gradient, cvivit_vars
+        )
+
+        self.maskgit = maskgit
+        self.unconditional = maskgit.unconditional
+        self.mask_id = maskgit.mask_id
+
+        assert not (self_token_critic and exists(critic))
+        self.self_token_critic = self_token_critic
+        if self_token_critic:
+            critic = SelfCritic(maskgit)
+        if exists(critic) and not self_token_critic:
+            assert (not maskgit.unconditional) == critic.has_cross_attn
+        self.critic = critic
+
+        self.critic_loss_weight = critic_loss_weight
+        self.critic_noise_anneal_schedule = critic_noise_anneal_schedule
+        self.critic_train_sample_temperature = critic_train_sample_temperature
+
+        self.steps = steps
+        self.sample_temperature = sample_temperature
+
+        self.t5_name = t5_name
+        self.text_embed_dim = (
+            text_embed_dim if exists(text_embed_dim) else get_encoded_dim(t5_name)
+        )
+        self.max_text_len = max_text_len
+
+        assert cond_drop_prob > 0.0
+        self.cond_drop_prob = cond_drop_prob
+
+        self.params: Optional[Dict[str, Any]] = None  # set by init()/trainers
+        self._sample_cache: Dict[Tuple, Any] = {}
+
+    # ------------------------------------------------------------------ #
+    # parameter init                                                      #
+    # ------------------------------------------------------------------ #
+
+    def init(self, rng: jax.Array) -> Dict[str, Any]:
+        """Initialize maskgit (+ critic head) params. Returns and stores the
+        trainable variables pytree {'maskgit': ..., 'critic': ...}."""
+        k1, k2 = jax.random.split(rng)
+        patch_shape = (2, *self.cvivit.patch_height_width)
+        n = int(np.prod(patch_shape))
+        ids = jnp.zeros((1, n), jnp.int32)
+        ctx = (
+            None
+            if self.unconditional
+            else jnp.zeros((1, self.max_text_len, self.text_embed_dim))
+        )
+        mg_vars = self.maskgit.init(
+            k1, ids, video_patch_shape=patch_shape, context=ctx
+        )
+
+        critic_vars = None
+        if exists(self.critic):
+            if self.self_token_critic:
+                full = self.critic.init(
+                    k2, ids, video_patch_shape=patch_shape, context=ctx
+                )
+                # trunk params are shared with maskgit; store only the head
+                critic_vars = {"params": {"to_pred": full["params"]["to_pred"]}}
+            else:
+                c_ctx = ctx if self.critic.has_cross_attn else None
+                critic_vars = self.critic.init(
+                    k2, ids, video_patch_shape=patch_shape, context=c_ctx
+                )
+
+        self.params = {
+            "maskgit": mg_vars["params"],
+            "critic": None if critic_vars is None else critic_vars["params"],
+        }
+        return self.params
+
+    def _critic_variables(self, params: Dict[str, Any]) -> Dict[str, Any]:
+        """Assemble full critic variables (re-attaching the shared maskgit
+        trunk for SelfCritic, reference phenaki_pytorch.py:307-336)."""
+        if self.self_token_critic:
+            return {
+                "params": {
+                    "maskgit": params["maskgit"],
+                    "to_pred": params["critic"]["to_pred"],
+                }
+            }
+        return {"params": params["critic"]}
+
+    # ------------------------------------------------------------------ #
+    # text handling (host-side)                                           #
+    # ------------------------------------------------------------------ #
+
+    def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        """texts -> (b, max_text_len, d) float32, zero-padded to static len."""
+        emb = np.asarray(
+            t5_encode_text(
+                texts, name=self.t5_name, fallback_dim=self.text_embed_dim
+            )
+        )
+        return self.pad_text_embeds(emb)
+
+    def pad_text_embeds(self, emb: np.ndarray) -> np.ndarray:
+        b, L, d = emb.shape
+        assert d == self.text_embed_dim, "text embedding dimension is not correct"
+        if L >= self.max_text_len:
+            return emb[:, : self.max_text_len]
+        out = np.zeros((b, self.max_text_len, d), emb.dtype)
+        out[:, :L] = emb
+        return out
+
+    # ------------------------------------------------------------------ #
+    # training loss (pure / jittable)                                     #
+    # ------------------------------------------------------------------ #
+
+    def loss(
+        self,
+        params: Dict[str, Any],
+        rng: jax.Array,
+        *,
+        videos: Optional[jax.Array] = None,  # (b, f, H, W, c)
+        video_codebook_ids: Optional[jax.Array] = None,  # (b, t, h, w) or (b, n)
+        text_embeds: Optional[jax.Array] = None,  # (b, L, d)
+        video_frame_mask: Optional[jax.Array] = None,  # (b, f)
+        cond_drop_prob: Optional[float] = None,
+        only_train_generator: bool = False,
+        only_train_critic: bool = False,
+        train: bool = True,
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """Masked-token CE (+ critic BCE) training loss
+        (reference phenaki_pytorch.py:562-687, quirk Q1 fixed)."""
+        assert not (only_train_generator and only_train_critic)
+        assert exists(videos) ^ exists(video_codebook_ids)
+        assert (
+            exists(text_embeds) or self.unconditional
+        ), "text embeds must be given unless unconditional"
+
+        rng_mask, rng_step, rng_drop, rng_gumbel = jax.random.split(rng, 4)
+
+        if not exists(video_codebook_ids):
+            video_codebook_ids = jax.lax.stop_gradient(
+                self.cvivit.apply(
+                    self.cvivit_vars, videos, return_only_codebook_ids=True
+                )
+            )
+
+        if video_codebook_ids.ndim == 4:
+            patch_shape = video_codebook_ids.shape[1:]
+            ids = video_codebook_ids.reshape(video_codebook_ids.shape[0], -1)
+        else:
+            raise ValueError("video_codebook_ids must be (b, t, h, w)")
+
+        b, seq = ids.shape
+
+        text_mask = None
+        drop_prob = 0.0
+        if not self.unconditional:
+            # zero-embedding convention: all-zero feature rows are padding
+            # (reference phenaki_pytorch.py:601)
+            text_mask = jnp.any(text_embeds != 0, axis=-1)
+            drop_prob = (
+                cond_drop_prob if exists(cond_drop_prob) else self.cond_drop_prob
+            )
+
+        video_mask = None
+        if exists(video_frame_mask):
+            video_mask = self.cvivit.calculate_video_token_mask(video_frame_mask)
+        if not exists(video_mask):
+            video_mask = jnp.ones((b, seq), dtype=bool)
+
+        # per-sample random step -> cosine mask prob (reference :622-628)
+        rand_step = jax.random.randint(rng_step, (b,), 0, self.steps)
+        mask_prob = jnp.cos(rand_step * math.pi * 0.5 / self.steps)
+
+        mask_token_mask = get_mask_subset_with_prob(rng_mask, video_mask, mask_prob)
+        masked_input = jnp.where(mask_token_mask, self.mask_id, ids)
+        masked_input = masked_input.reshape(b, *patch_shape)
+
+        mg_vars = {"params": params["maskgit"]}
+        logits = self.maskgit.apply(
+            mg_vars,
+            masked_input,
+            video_mask=video_mask,
+            cond_drop_prob=drop_prob if train else 0.0,
+            text_mask=text_mask,
+            context=text_embeds,
+            deterministic=not train,
+            rngs={"cond_drop": rng_drop, "dropout": rng_gumbel},
+        )
+        if only_train_critic:
+            logits = jax.lax.stop_gradient(logits)
+
+        logits32 = logits.astype(jnp.float32)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits32, ids)
+        w = mask_token_mask.astype(jnp.float32)
+        gen_loss = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+        metrics = {"maskgit_loss": gen_loss}
+
+        if not exists(self.critic) or only_train_generator:
+            metrics["loss"] = gen_loss
+            return gen_loss, metrics
+
+        # critic: did the generator fool you, per token? (reference :654-687)
+        pred_ids = gumbel_sample(
+            rng_gumbel, logits32, self.critic_train_sample_temperature
+        ).astype(jnp.int32)
+        pred_ids = jax.lax.stop_gradient(pred_ids)
+        critic_input = jnp.where(mask_token_mask, pred_ids, ids)
+        critic_input = critic_input.reshape(b, *patch_shape)
+
+        critic_vars = self._critic_variables(params)
+        critic_ctx = (
+            text_embeds
+            if (self.self_token_critic or self.critic.has_cross_attn)
+            else None
+        )
+        critic_logits = self.critic.apply(
+            critic_vars,
+            critic_input,
+            video_mask=video_mask,
+            cond_drop_prob=drop_prob if train else 0.0,
+            text_mask=text_mask if critic_ctx is not None else None,
+            context=critic_ctx,
+            deterministic=not train,
+            rngs={"cond_drop": rng_drop, "dropout": rng_gumbel},
+        ).astype(jnp.float32)
+
+        critic_labels = (ids != pred_ids).astype(jnp.float32)
+        critic_loss = jnp.mean(
+            optax.sigmoid_binary_cross_entropy(critic_logits, critic_labels)
+        )
+        metrics["critic_loss"] = critic_loss
+
+        if only_train_critic:
+            loss = critic_loss
+        else:
+            loss = gen_loss + critic_loss * self.critic_loss_weight
+        metrics["loss"] = loss
+        return loss, metrics
+
+    def __call__(
+        self,
+        videos=None,
+        *,
+        texts: Optional[List[str]] = None,
+        rng: Optional[jax.Array] = None,
+        text_embeds=None,
+        **kwargs,
+    ):
+        """Convenience training forward with stored params (reference-parity
+        call shape). Prefer `loss()` inside jitted trainer steps."""
+        assert self.params is not None, "call init() first"
+        if exists(texts):
+            assert not exists(text_embeds)
+            text_embeds = jnp.asarray(self.embed_texts(texts))
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        loss, _ = self.loss(
+            self.params, rng, videos=videos, text_embeds=text_embeds, **kwargs
+        )
+        return loss
+
+    # ------------------------------------------------------------------ #
+    # sampling                                                            #
+    # ------------------------------------------------------------------ #
+
+    def _build_sample_fn(
+        self,
+        *,
+        batch_size: int,
+        num_frames: int,
+        prime_num_frames: int,
+        has_text: bool,
+        cond_scale: float,
+        starting_temperature: float,
+        noise_K: float,
+    ):
+        """One jitted program: prime tokenize -> decode scan -> video decode."""
+        has_prime = prime_num_frames > 0
+        num_tokens = self.cvivit.num_tokens_per_frames(
+            num_frames, include_first_frame=not has_prime
+        )
+        patch_shape = self.cvivit.get_video_patch_shape(
+            num_frames + prime_num_frames, include_first_frame=True
+        )
+        # latent frames contributed by the prime (first frame counted once)
+        prime_patch_frames = (
+            self.cvivit.get_video_patch_shape(prime_num_frames)[0] if has_prime else 0
+        )
+
+        maskgit = self.maskgit
+        critic = self.critic
+        cvivit = self.cvivit
+        cvivit_vars = self.cvivit_vars
+
+        def sample_program(params, rng, prime_frames, text_embeds):
+            prime_ids = None
+            if has_prime:
+                prime_ids = cvivit.apply(
+                    cvivit_vars, prime_frames, return_only_codebook_ids=True
+                )
+                prime_ids = prime_ids.reshape(batch_size, -1)
+
+            text_mask = None
+            context = None
+            if has_text:
+                context = text_embeds
+                text_mask = jnp.any(text_embeds != 0, axis=-1)
+
+            mg_vars = {"params": params["maskgit"]}
+
+            def logits_fn(input_ids):
+                return maskgit.apply(
+                    mg_vars,
+                    input_ids,
+                    video_patch_shape=patch_shape,
+                    context=context,
+                    text_mask=text_mask,
+                    cond_scale=cond_scale,
+                    method=MaskGit.forward_with_cond_scale,
+                )
+
+            critic_fn = None
+            if exists(critic):
+                critic_vars = self._critic_variables(params)
+                critic_has_text = has_text and (
+                    self.self_token_critic or critic.has_cross_attn
+                )
+
+                def critic_fn(input_ids):  # noqa: F811
+                    return critic.apply(
+                        critic_vars,
+                        input_ids,
+                        video_patch_shape=patch_shape,
+                        context=context if critic_has_text else None,
+                        text_mask=text_mask if critic_has_text else None,
+                        cond_scale=cond_scale,
+                        method=type(critic).forward_with_cond_scale,
+                    )
+
+            ids = maskgit_sample_loop(
+                logits_fn,
+                rng=rng,
+                batch=batch_size,
+                num_tokens_seq=num_tokens,
+                mask_id=self.mask_id,
+                steps=self.steps,
+                starting_temperature=starting_temperature,
+                prime_ids=prime_ids,
+                critic_fn=critic_fn,
+                noise_K=noise_K,
+                critic_noise_anneal_schedule=self.critic_noise_anneal_schedule,
+            )
+
+            if has_prime:
+                ids = jnp.concatenate([prime_ids, ids], axis=-1)
+
+            video = cvivit.apply(
+                cvivit_vars, ids, method=CViViT.decode_from_codebook_indices
+            )
+            if has_prime:
+                video = video[:, prime_num_frames:]
+            return video
+
+        return jax.jit(sample_program)
+
+    def sample(
+        self,
+        *,
+        num_frames: int,
+        texts: Union[List[str], str, None] = None,
+        text_embeds: Optional[jax.Array] = None,
+        prime_frames: Optional[jax.Array] = None,
+        batch_size: int = 1,
+        cond_scale: float = 3.0,
+        starting_temperature: float = 0.9,
+        noise_K: float = 1.0,
+        params: Optional[Dict[str, Any]] = None,
+        rng: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Text-to-video sampling (reference phenaki_pytorch.py:418-560).
+
+        Returns (b, num_frames, H, W, c) in the cvivit pixel space.
+        """
+        params = params if exists(params) else self.params
+        assert exists(params), "no params — call init() or load a checkpoint"
+        if rng is None:
+            rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+
+        if isinstance(texts, str):
+            texts = [texts]
+        if exists(texts):
+            text_embeds = jnp.asarray(self.embed_texts(texts))
+            batch_size = len(texts)
+        elif exists(text_embeds):
+            text_embeds = jnp.asarray(self.pad_text_embeds(np.asarray(text_embeds)))
+            batch_size = text_embeds.shape[0]
+
+        has_text = exists(text_embeds) and not self.unconditional
+        prime_num_frames = prime_frames.shape[1] if exists(prime_frames) else 0
+
+        key = (
+            batch_size,
+            num_frames,
+            prime_num_frames,
+            has_text,
+            float(cond_scale),
+            float(starting_temperature),
+            float(noise_K),
+        )
+        if key not in self._sample_cache:
+            self._sample_cache[key] = self._build_sample_fn(
+                batch_size=batch_size,
+                num_frames=num_frames,
+                prime_num_frames=prime_num_frames,
+                has_text=has_text,
+                cond_scale=cond_scale,
+                starting_temperature=starting_temperature,
+                noise_K=noise_K,
+            )
+        fn = self._sample_cache[key]
+        return fn(params, rng, prime_frames, text_embeds)
+
+    def sample_images(
+        self,
+        *,
+        texts: Union[List[str], str, None] = None,
+        batch_size: int = 1,
+        cond_scale: float = 3.0,
+        starting_temperature: float = 0.9,
+        noise_K: float = 1.0,
+        num_frames: int = 1,  # accepted for trainer parity (quirk Q7 fixed)
+        **kwargs,
+    ) -> jax.Array:
+        video = self.sample(
+            texts=texts,
+            num_frames=1,
+            batch_size=batch_size,
+            cond_scale=cond_scale,
+            starting_temperature=starting_temperature,
+            noise_K=noise_K,
+            **kwargs,
+        )
+        return video[:, 0]
+
+
+def make_video(
+    phenaki: Phenaki,
+    texts: List[str],
+    num_frames,
+    prime_lengths,
+    **sample_kwargs,
+):
+    """Multi-scene long video via prime-frame chaining
+    (reference phenaki_pytorch.py:692-714). Returns (entire_video, scenes)."""
+    num_scenes = len(texts)
+    num_frames = cast_tuple(num_frames, num_scenes)
+
+    prime_lengths = cast_tuple(prime_lengths, num_scenes - 1)
+    prime_lengths = (*prime_lengths, 0)  # last scene needs no priming
+
+    video_prime = None
+    scenes = []
+
+    for text, scene_num_frames, next_prime_len in zip(
+        texts, num_frames, prime_lengths
+    ):
+        video = phenaki.sample(
+            texts=text,
+            prime_frames=video_prime,
+            num_frames=scene_num_frames,
+            **sample_kwargs,
+        )
+        scenes.append(video)
+        if next_prime_len > 0:
+            video_prime = video[:, -next_prime_len:]
+        else:
+            video_prime = None
+
+    return jnp.concatenate(scenes, axis=1), scenes

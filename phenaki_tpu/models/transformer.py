@@ -35,6 +35,7 @@ class Transformer(nn.Module):
     ff_mult: int = 4
     peg: bool = False
     peg_causal: bool = False
+    peg_layout: str = "thw"  # see PEG.layout
     attn_num_null_kv: int = 2
     has_cross_attn: bool = False
     attn_dropout: float = 0.0
@@ -58,6 +59,7 @@ class Transformer(nn.Module):
                     PEG(
                         self.dim,
                         causal=self.peg_causal,
+                        layout=self.peg_layout,
                         dtype=self.dtype,
                         name=f"layers_{layer}_peg",
                     )(x, shape=video_shape)

@@ -16,12 +16,15 @@ import flax.linen as nn
 def l2norm(t: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
     """L2-normalize along `axis` (reference attention.py:23-24).
 
-    Computed in float32 for stability, cast back to input dtype.
+    Computed in float32, cast back to input dtype. Uses rsqrt(max(ss, eps^2))
+    so the gradient at an exactly-zero vector is zero instead of NaN (zero
+    vectors occur legitimately: zero-padded text-embedding rows feed cross
+    attention's k/v projections).
     """
     dtype = t.dtype
     t32 = t.astype(jnp.float32)
-    norm = jnp.sqrt(jnp.sum(t32 * t32, axis=axis, keepdims=True))
-    return (t32 / jnp.maximum(norm, eps)).astype(dtype)
+    ss = jnp.sum(t32 * t32, axis=axis, keepdims=True)
+    return (t32 * jax.lax.rsqrt(jnp.maximum(ss, eps * eps))).astype(dtype)
 
 
 class LayerNorm(nn.Module):

@@ -112,6 +112,13 @@ class PEG(nn.Module):
 
     dim: int
     causal: bool = False
+    # how a flat (rows, seq, d) input maps onto the (b, t, h, w) grid:
+    #   'thw'   — rows = b, seq = t*h*w   (MaskGit over the full token grid)
+    #   'bhw_t' — rows = b*h*w, seq = t   (C-ViViT temporal transformer)
+    # The reference reshapes (b*h*w, t, d) directly to (b, t, h, w, d)
+    # (attention.py:71) which scrambles the grid and leaks future frames
+    # through the conv; 'bhw_t' implements the intended causal behavior.
+    layout: str = "thw"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -121,9 +128,17 @@ class PEG(nn.Module):
         """x: (b, t, h, w, d), or (b, n, d) with `shape` = (b, t, h, w)."""
         orig_shape = x.shape
         needs_shape = x.ndim == 3
+        untranspose = False
         if needs_shape:
             assert shape is not None, "PEG on a flat sequence requires the video shape"
-            x = x.reshape(*shape, x.shape[-1])
+            b, t, h, w = shape
+            if self.layout == "thw":
+                x = x.reshape(b, t, h, w, x.shape[-1])
+            elif self.layout == "bhw_t":
+                x = x.reshape(b, h, w, t, x.shape[-1]).transpose(0, 3, 1, 2, 4)
+                untranspose = True
+            else:
+                raise ValueError(f"unknown PEG layout {self.layout!r}")
 
         kernel = self.param(
             "kernel",
@@ -144,4 +159,6 @@ class PEG(nn.Module):
         )
         out = out + bias.astype(self.dtype)
 
+        if untranspose:
+            out = out.transpose(0, 2, 3, 1, 4)  # (b, h, w, t, d)
         return out.reshape(orig_shape)

@@ -1,0 +1,58 @@
+"""Checkpoint / resume via Orbax (async-capable sharded checkpointing).
+
+Replaces torch.save/load of packed state dicts (reference
+cvivit_trainer.py:176-196, phenaki_trainer.py:323-349). Orbax handles
+multi-host sharded arrays natively; saves are coordinated across processes,
+so no main-process gating is needed (the reference gates with
+is_local_main_process).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin wrapper: save/restore arbitrary pytrees by integer milestone."""
+
+    def __init__(self, directory: str | os.PathLike, max_to_keep: Optional[int] = None):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state: Any, wait: bool = False) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        if wait:
+            self._mgr.wait_until_finished()
+
+    def restore(self, step: Optional[int] = None, template: Any = None) -> Any:
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        if template is not None:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+        return self._mgr.restore(step)
+
+    @property
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def all_steps(self):
+        return self._mgr.all_steps()
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()

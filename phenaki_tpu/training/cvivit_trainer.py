@@ -1,0 +1,458 @@
+"""C-ViViT (VQGAN) trainer — reference cvivit_trainer.py:56-354, TPU-native.
+
+Two-optimizer GAN loop as two jitted SPMD steps under a device mesh:
+
+  * generator step: recon + perceptual + vq-aux + adaptive*gen loss, grads
+    over the autoencoder params only, optax update (+ fused EMA update);
+  * discriminator step: hinge/BCE + periodic R1 gradient penalty, grads over
+    discriminator params only.
+
+vs the reference:
+  * no parameter-set subtraction (cvivit_trainer.py:101-103) — the
+    discriminator/VGG own their params outright;
+  * gradient accumulation via optax.MultiSteps instead of a host-side
+    micro-batch loop (cvivit_trainer.py:231-243);
+  * `accelerator.backward` DDP all-reduce -> batch sharded over the mesh 'dp'
+    axis, XLA inserts the gradient all-reduce;
+  * EMA runs inside the jitted step (ema-pytorch dep removed);
+  * checkpoints via Orbax (async, sharded) instead of torch.save;
+  * `wait_for_everyone` barriers are unnecessary under SPMD.
+
+Reference quirk Q4 (undefined loss when apply_grad_penalty=False) is fixed:
+the penalty is simply zero on non-penalty steps.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from phenaki_tpu.data.codecs import video_tensor_to_gif
+from phenaki_tpu.data.datasets import (
+    DataLoader,
+    ImageDataset,
+    VideoDataset,
+    cycle,
+    random_split,
+)
+from phenaki_tpu.models.cvivit import CViViT, Discriminator
+from phenaki_tpu.models.cvivit_losses import (
+    cvivit_discriminator_loss,
+    cvivit_generator_loss,
+)
+from phenaki_tpu.models.vgg import VGG16Features, init_vgg
+from phenaki_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from phenaki_tpu.training.checkpoint import CheckpointManager
+from phenaki_tpu.training.ema import EMAState, ema_init, ema_update
+from phenaki_tpu.training.optimizer import get_optimizer
+from phenaki_tpu.utils.image_grid import save_image_grid
+from phenaki_tpu.utils.logging import accum_log, MetricLogger
+
+
+def exists(v):
+    return v is not None
+
+
+class CViViTTrainer:
+    def __init__(
+        self,
+        vae: CViViT,
+        *,
+        num_train_steps: int,
+        batch_size: int,
+        folder: Optional[str] = None,
+        dataset=None,
+        train_on_images: bool = False,
+        num_frames: int = 17,
+        lr: float = 3e-4,
+        grad_accum_every: int = 1,
+        wd: float = 0.0,
+        max_grad_norm: Optional[float] = 0.5,
+        discr_max_grad_norm: Optional[float] = None,
+        save_results_every: int = 100,
+        save_model_every: int = 1000,
+        results_folder: str = "./results",
+        valid_frac: float = 0.05,
+        random_split_seed: int = 42,
+        use_ema: bool = True,
+        ema_beta: float = 0.995,
+        ema_update_after_step: int = 0,
+        ema_update_every: int = 1,
+        apply_grad_penalty_every: int = 4,
+        use_vgg_and_gan: bool = True,
+        use_hinge_loss: bool = True,
+        discr_base_dim: int = 16,
+        discr_attn_res_layers: tuple = (16,),
+        vgg_params: Optional[Dict] = None,
+        mesh=None,
+        seed: int = 42,
+        log_every: int = 10,
+    ):
+        self.vae = vae
+        self.use_vgg_and_gan = use_vgg_and_gan
+        self.use_hinge_loss = use_hinge_loss
+        self.num_train_steps = num_train_steps
+        self.batch_size = batch_size
+        self.grad_accum_every = grad_accum_every
+        self.save_results_every = save_results_every
+        self.save_model_every = save_model_every
+        self.apply_grad_penalty_every = apply_grad_penalty_every
+        self.use_ema = use_ema
+        self.ema_beta = ema_beta
+        self.ema_update_after_step = ema_update_after_step
+        self.ema_update_every = ema_update_every
+        self.train_on_images = train_on_images
+        self.log_every = log_every
+
+        self.mesh = mesh if exists(mesh) else make_mesh()
+        self.logger = MetricLogger()
+
+        rng = jax.random.PRNGKey(seed)
+        rng, init_rng, discr_rng = jax.random.split(rng, 3)
+        self.rng = rng
+
+        # --- init params --- #
+        image_hw = vae.image_hw
+        if train_on_images:
+            example = jnp.zeros((1, *image_hw, vae.channels))
+        else:
+            f = 1 + vae.temporal_patch_size
+            example = jnp.zeros((1, f, *image_hw, vae.channels))
+        vae_vars = vae.init(init_rng, example)
+
+        self.discr = None
+        discr_vars = {"params": {}}
+        self.vgg = None
+        self.vgg_vars = None
+        if use_vgg_and_gan:
+            self.discr = Discriminator(
+                dim=discr_base_dim,
+                image_size=image_hw,
+                channels=vae.channels,
+                attn_res_layers=discr_attn_res_layers,
+                dtype=vae.dtype,
+            )
+            discr_vars = self.discr.init(
+                discr_rng, jnp.zeros((1, *image_hw, vae.channels))
+            )
+            self.vgg, default_vgg = init_vgg(dtype=vae.dtype)
+            self.vgg_vars = vgg_params if exists(vgg_params) else default_vgg
+
+        # --- optimizers (reference optimizer.py via optax) --- #
+        gen_opt = get_optimizer(lr=lr, wd=wd, max_grad_norm=max_grad_norm)
+        discr_opt = get_optimizer(lr=lr, wd=wd, max_grad_norm=discr_max_grad_norm)
+        if grad_accum_every > 1:
+            gen_opt = optax.MultiSteps(gen_opt, grad_accum_every)
+            discr_opt = optax.MultiSteps(discr_opt, grad_accum_every)
+        self.gen_opt, self.discr_opt = gen_opt, discr_opt
+
+        state = {
+            "vae_params": vae_vars["params"],
+            "vq_stats": vae_vars.get("vq_stats", {}),
+            "discr_params": discr_vars["params"],
+            "gen_opt_state": gen_opt.init(vae_vars["params"]),
+            "discr_opt_state": discr_opt.init(discr_vars["params"]),
+            "ema": ema_init(vae_vars["params"]) if use_ema else None,
+            "step": jnp.zeros((), jnp.int32),
+        }
+        self.state = replicate(state, self.mesh)
+        if self.vgg_vars is not None:
+            self.vgg_vars = replicate(self.vgg_vars, self.mesh)
+
+        # --- dataset / loaders --- #
+        self.dl_iter = None
+        self.valid_dl_iter = None
+        if exists(dataset) or exists(folder):
+            if exists(dataset):
+                self.ds = dataset
+            elif train_on_images:
+                self.ds = ImageDataset(folder, image_hw)
+            else:
+                self.ds = VideoDataset(folder, image_hw, num_frames=num_frames)
+
+            if valid_frac > 0:
+                self.ds, self.valid_ds = random_split(
+                    self.ds, valid_frac, seed=random_split_seed
+                )
+                self.print(
+                    f"training with dataset of {len(self.ds)} samples and "
+                    f"validating with randomly splitted {len(self.valid_ds)} samples"
+                )
+            else:
+                self.valid_ds = self.ds
+                self.print(
+                    f"training with shared training and valid dataset of "
+                    f"{len(self.ds)} samples"
+                )
+
+            self.dl_iter = cycle(DataLoader(self.ds, batch_size=batch_size))
+            self.valid_dl_iter = cycle(
+                DataLoader(self.valid_ds, batch_size=batch_size)
+            )
+
+        self.results_folder = Path(results_folder)
+        self.results_folder.mkdir(parents=True, exist_ok=True)
+        self.checkpoints = CheckpointManager(self.results_folder / "checkpoints")
+
+        # --- jitted steps --- #
+        self._gen_step = jax.jit(self._make_gen_step())
+        self._discr_step = (
+            jax.jit(self._make_discr_step(), static_argnames=("apply_grad_penalty",))
+            if use_vgg_and_gan
+            else None
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def print(self, msg):
+        if jax.process_index() == 0:
+            print(msg)
+
+    @property
+    def step(self) -> int:
+        return int(jax.device_get(self.state["step"]))
+
+    def _make_gen_step(self):
+        vae, discr, vgg = self.vae, self.discr, self.vgg
+        use_gan = self.use_vgg_and_gan
+        mutable_vq = not vae.lookup_free_quantization
+
+        def gen_step(state, vgg_vars, batch, rng):
+            def loss_fn(vae_params):
+                vae_vars = {"params": vae_params}
+                if mutable_vq:
+                    vae_vars["vq_stats"] = state["vq_stats"]
+                (loss, aux), new_vq = cvivit_generator_loss(
+                    vae,
+                    vae_vars,
+                    batch,
+                    rng,
+                    discr=discr,
+                    discr_vars={"params": state["discr_params"]} if use_gan else None,
+                    vgg=vgg,
+                    vgg_vars=vgg_vars,
+                    use_vgg_and_gan=use_gan,
+                    use_hinge_loss=self.use_hinge_loss,
+                    deterministic=True,
+                    mutable_vq=mutable_vq,
+                )
+                aux["new_vq"] = new_vq
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["vae_params"]
+            )
+            updates, new_opt_state = self.gen_opt.update(
+                grads, state["gen_opt_state"], state["vae_params"]
+            )
+            new_params = optax.apply_updates(state["vae_params"], updates)
+
+            new_state = dict(state)
+            new_state["vae_params"] = new_params
+            new_state["gen_opt_state"] = new_opt_state
+            if mutable_vq and aux["new_vq"] is not None:
+                new_state["vq_stats"] = aux["new_vq"]["vq_stats"]
+            if self.use_ema:
+                new_state["ema"] = ema_update(
+                    state["ema"],
+                    new_params,
+                    decay=self.ema_beta,
+                    update_after_step=self.ema_update_after_step,
+                    update_every=self.ema_update_every,
+                )
+            new_state["step"] = state["step"] + 1
+
+            metrics = {
+                "loss": loss,
+                "recon_loss": aux["recon_loss"],
+                "vq_aux_loss": aux["vq_aux_loss"],
+            }
+            if use_gan:
+                metrics["perceptual_loss"] = aux["perceptual_loss"]
+                metrics["gen_loss"] = aux["gen_loss"]
+                metrics["adaptive_weight"] = aux["adaptive_weight"]
+            return new_state, metrics
+
+        return gen_step
+
+    def _make_discr_step(self):
+        vae, discr = self.vae, self.discr
+
+        def discr_step(state, batch, rng, apply_grad_penalty: bool):
+            def loss_fn(discr_params):
+                loss, aux = cvivit_discriminator_loss(
+                    vae,
+                    discr,
+                    {"params": state["vae_params"], **(
+                        {"vq_stats": state["vq_stats"]} if state["vq_stats"] else {}
+                    )},
+                    {"params": discr_params},
+                    batch,
+                    rng,
+                    apply_grad_penalty=apply_grad_penalty,
+                    use_hinge_loss=self.use_hinge_loss,
+                )
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["discr_params"]
+            )
+            updates, new_opt_state = self.discr_opt.update(
+                grads, state["discr_opt_state"], state["discr_params"]
+            )
+            new_params = optax.apply_updates(state["discr_params"], updates)
+
+            new_state = dict(state)
+            new_state["discr_params"] = new_params
+            new_state["discr_opt_state"] = new_opt_state
+            return new_state, {"discr_loss": aux["discr_loss"], "grad_penalty": aux["grad_penalty"]}
+
+        return discr_step
+
+    # ------------------------------------------------------------------ #
+
+    def train_step(self) -> Dict[str, float]:
+        assert self.dl_iter is not None, "no dataset configured"
+        steps = self.step
+        apply_gp = (steps % self.apply_grad_penalty_every) == 0
+
+        logs: Dict[str, float] = {}
+
+        # generator phase (+ accumulation)
+        for _ in range(self.grad_accum_every):
+            (batch, *_r) = next(self.dl_iter)
+            batch = shard_batch(jnp.asarray(batch), self.mesh)
+            self.rng, sub = jax.random.split(self.rng)
+            self.state, metrics = self._gen_step(
+                self.state, self.vgg_vars, batch, sub
+            )
+            accum_log(
+                logs,
+                {
+                    k: float(jax.device_get(v)) / self.grad_accum_every
+                    for k, v in metrics.items()
+                },
+            )
+
+        # discriminator phase
+        if self.use_vgg_and_gan:
+            for _ in range(self.grad_accum_every):
+                (batch, *_r) = next(self.dl_iter)
+                batch = shard_batch(jnp.asarray(batch), self.mesh)
+                self.rng, sub = jax.random.split(self.rng)
+                self.state, metrics = self._discr_step(
+                    self.state, batch, sub, apply_grad_penalty=apply_gp
+                )
+                accum_log(
+                    logs,
+                    {
+                        k: float(jax.device_get(v)) / self.grad_accum_every
+                        for k, v in metrics.items()
+                    },
+                )
+            if steps % self.log_every == 0:
+                self.print(
+                    f"{steps}: vae loss: {logs['loss']:.4f} - "
+                    f"discr loss: {logs['discr_loss']:.4f}"
+                )
+        elif steps % self.log_every == 0:
+            self.print(f"{steps}: vae loss: {logs['loss']:.4f}")
+
+        # periodic reconstructions
+        if steps % self.save_results_every == 0:
+            self._save_results(steps)
+
+        # periodic model checkpoints
+        if steps % self.save_model_every == 0:
+            self.save(steps)
+
+        self.logger.log(steps, logs)
+        return logs
+
+    def _eval_variables(self, use_ema: bool):
+        params = (
+            self.state["ema"].params
+            if (use_ema and self.use_ema)
+            else self.state["vae_params"]
+        )
+        variables = {"params": params}
+        if self.state["vq_stats"]:
+            variables["vq_stats"] = self.state["vq_stats"]
+        return variables
+
+    def _save_results(self, steps: int):
+        if self.valid_dl_iter is None or jax.process_index() != 0:
+            return
+        (valid_batch, *_r) = next(self.valid_dl_iter)
+        valid_batch = jnp.asarray(valid_batch)
+        is_video = valid_batch.ndim == 5
+
+        to_eval = [(False, str(steps))]
+        if self.use_ema:
+            to_eval.insert(0, (True, f"{steps}.ema"))
+
+        for use_ema, filename in to_eval:
+            variables = self._eval_variables(use_ema)
+            recons, _, _ = self.vae.apply(variables, valid_batch)
+            recons = np.asarray(jax.device_get(recons))
+
+            if is_video:
+                sampled_videos_path = self.results_folder / f"samples.{filename}"
+                sampled_videos_path.mkdir(parents=True, exist_ok=True)
+                for i, tensor in enumerate(recons):
+                    video_tensor_to_gif(
+                        tensor, str(sampled_videos_path / f"{filename}-{i}.gif")
+                    )
+            else:
+                originals = np.asarray(jax.device_get(valid_batch))
+                interleaved = np.stack([originals, recons], axis=1).reshape(
+                    -1, *recons.shape[1:]
+                )
+                save_image_grid(
+                    np.clip(interleaved, 0.0, 1.0),
+                    str(self.results_folder / f"{filename}.png"),
+                    nrow=2,
+                )
+        self.print(f"{steps}: saving to {self.results_folder}")
+
+    def save(self, milestone: int):
+        self.checkpoints.save(
+            milestone,
+            jax.device_get(
+                {
+                    "vae_params": self.state["vae_params"],
+                    "vq_stats": self.state["vq_stats"],
+                    "discr_params": self.state["discr_params"],
+                    "ema_params": self.state["ema"].params if self.use_ema else None,
+                    "step": self.state["step"],
+                }
+            ),
+        )
+        self.print(f"{self.step}: saving model to {self.results_folder}")
+
+    def load(self, milestone: Optional[int] = None):
+        restored = self.checkpoints.restore(milestone)
+        new_state = dict(self.state)
+        new_state["vae_params"] = restored["vae_params"]
+        new_state["vq_stats"] = restored.get("vq_stats", {})
+        new_state["discr_params"] = restored["discr_params"]
+        if self.use_ema and restored.get("ema_params") is not None:
+            new_state["ema"] = EMAState(
+                params=restored["ema_params"], step=restored["step"]
+            )
+        new_state["step"] = jnp.asarray(restored["step"], jnp.int32)
+        self.state = replicate(new_state, self.mesh)
+
+    def train(self, log_fn=None):
+        while self.step < self.num_train_steps:
+            logs = self.train_step()
+            if exists(log_fn):
+                log_fn(logs)
+        self.print("training complete")

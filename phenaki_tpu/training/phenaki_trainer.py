@@ -1,0 +1,403 @@
+"""Phenaki (MaskGit + critic) trainer — reference phenaki_trainer.py:174-470,
+TPU-native.
+
+Single-optimizer loop over the Phenaki masked-token loss as one jitted SPMD
+step (batch sharded over the mesh 'dp' axis). vs the reference:
+
+  * the optimizer covers maskgit AND critic params (reference quirk Q6: its
+    optimizer only holds maskgit params, so the critic loss never trains
+    anything — fixed here; `only_train_generator`/`only_train_critic` select
+    the trainable subset via optax masking of the gradients);
+  * grad accumulation via optax.MultiSteps; AMP -> bf16 compute dtype on the
+    modules (no loss-scaler needed on TPU);
+  * type-driven dataset-field inference kept (videos / texts /
+    video_codebook_ids / video_frame_mask / text_embeds recognized by
+    dtype/ndim like the reference's beartype dispatch,
+    phenaki_trainer.py:42-60,160-170);
+  * periodic text-conditioned sampling in batch groups + gif/png artifacts,
+    checkpoints via Orbax. Reference quirk Q7 (broken image-mode sampling)
+    fixed.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from pathlib import Path
+from random import choices
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from phenaki_tpu.data.codecs import video_tensor_to_gif
+from phenaki_tpu.data.datasets import DataLoader, ImageDataset, VideoDataset, cycle
+from phenaki_tpu.models.phenaki import Phenaki
+from phenaki_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from phenaki_tpu.training.checkpoint import CheckpointManager
+from phenaki_tpu.training.optimizer import get_optimizer
+from phenaki_tpu.utils.image_grid import save_image_grid
+from phenaki_tpu.utils.logging import MetricLogger
+
+
+def exists(v):
+    return v is not None
+
+
+def num_to_groups(num: int, divisor: int) -> List[int]:
+    groups, rem = divmod(num, divisor)
+    out = [divisor] * groups
+    if rem > 0:
+        out.append(rem)
+    return out
+
+
+def simple_slugify(text: str, max_length: int = 255) -> str:
+    return (
+        text.replace("-", "_")
+        .replace(",", "")
+        .replace(" ", "_")
+        .replace("|", "--")
+        .strip("-_")[:max_length]
+    )
+
+
+def determine_field(el: Any) -> str:
+    """Dtype/ndim-driven field inference (reference DATASET_FIELD_TYPE_CONFIG,
+    phenaki_trainer.py:42-60). Channels-last layout: videos are float ndim 4
+    (image batch) or 5 (video batch)."""
+    if isinstance(el, list) and all(isinstance(x, str) for x in el):
+        return "texts"
+    arr = np.asarray(el)
+    if arr.dtype == np.bool_:
+        return "video_frame_mask"
+    if np.issubdtype(arr.dtype, np.integer):
+        return "video_codebook_ids"
+    if np.issubdtype(arr.dtype, np.floating):
+        if arr.ndim == 3:
+            return "text_embeds"
+        if arr.ndim in (4, 5):
+            return "videos"
+    raise TypeError(f"unable to determine type of dataset field (shape {arr.shape})")
+
+
+def determine_types(data: Sequence[Any]) -> Tuple[str, ...]:
+    return tuple(determine_field(el) for el in data)
+
+
+class PhenakiTrainer:
+    def __init__(
+        self,
+        phenaki: Phenaki,
+        *,
+        folder: Optional[str] = None,
+        train_on_images: bool = False,
+        batch_size: int = 16,
+        grad_accum_every: int = 1,
+        num_frames: int = 17,
+        sample_num_frames: Optional[int] = None,
+        train_lr: float = 1e-4,
+        train_num_steps: int = 100000,
+        max_grad_norm: Optional[float] = None,
+        adam_betas: Tuple[float, float] = (0.9, 0.99),
+        wd: float = 0.0,
+        save_and_sample_every: int = 1000,
+        num_samples: int = 25,
+        results_folder: str = "./results",
+        sample_texts_file_path: Optional[str] = None,
+        sample_texts: Optional[List[str]] = None,
+        dataset=None,
+        dataset_fields: Optional[Tuple[str, ...]] = None,
+        mesh=None,
+        seed: int = 42,
+        log_every: int = 10,
+    ):
+        self.model = phenaki
+        assert phenaki.cvivit is not None, "cvivit must be present on phenaki"
+        self.unconditional = phenaki.unconditional
+
+        self.batch_size = batch_size
+        self.grad_accum_every = grad_accum_every
+        self.train_num_steps = train_num_steps
+        self.image_size = phenaki.cvivit.image_hw
+        self.train_on_images = train_on_images
+        self.sample_num_frames = (
+            sample_num_frames if exists(sample_num_frames) else num_frames
+        )
+        self.num_samples = num_samples
+        self.save_and_sample_every = save_and_sample_every
+        self.log_every = log_every
+
+        assert (
+            int(math.isqrt(num_samples)) ** 2 == num_samples
+        ), "number of samples must have an integer square root"
+
+        # sample captions (reference :241-250)
+        self.sample_texts = None
+        if exists(sample_texts_file_path):
+            p = Path(sample_texts_file_path)
+            assert p.exists()
+            self.sample_texts = [t for t in p.read_text().split("\n") if len(t)]
+        elif exists(sample_texts):
+            self.sample_texts = sample_texts
+        assert self.unconditional or exists(self.sample_texts), (
+            "sample_texts or sample_texts_file_path must be given for"
+            " text-conditioned training"
+        )
+
+        self.mesh = mesh if exists(mesh) else make_mesh()
+        self.logger = MetricLogger()
+        self.rng = jax.random.PRNGKey(seed)
+
+        # dataset / dataloader
+        self.dl = None
+        if exists(dataset):
+            self.ds = dataset
+        elif train_on_images:
+            assert exists(folder)
+            self.ds = ImageDataset(folder, self.image_size)
+        elif exists(folder):
+            self.ds = VideoDataset(folder, self.image_size, num_frames=num_frames)
+        else:
+            self.ds = None
+        if exists(self.ds):
+            self.dl = cycle(DataLoader(self.ds, batch_size=batch_size))
+
+        valid_fields = {
+            "videos",
+            "texts",
+            "video_codebook_ids",
+            "video_frame_mask",
+            "text_embeds",
+        }
+        if exists(dataset_fields):
+            assert len(set(dataset_fields)) == len(dataset_fields)
+            assert set(dataset_fields) <= valid_fields
+        self.dataset_fields = dataset_fields
+
+        # optimizer over maskgit + critic params (quirk Q6 fixed)
+        if phenaki.params is None:
+            phenaki.init(jax.random.PRNGKey(seed + 1))
+        opt = get_optimizer(
+            lr=train_lr, wd=wd, betas=adam_betas, max_grad_norm=max_grad_norm
+        )
+        if grad_accum_every > 1:
+            opt = optax.MultiSteps(opt, grad_accum_every)
+        self.opt = opt
+
+        params = phenaki.params
+        state = {
+            "params": params,
+            "opt_state": opt.init(params),
+            "step": jnp.zeros((), jnp.int32),
+        }
+        self.state = replicate(state, self.mesh)
+
+        self.results_folder = Path(results_folder)
+        self.results_folder.mkdir(parents=True, exist_ok=True)
+        self.checkpoints = CheckpointManager(self.results_folder / "checkpoints")
+
+        self._train_step = jax.jit(
+            self._make_train_step(),
+            static_argnames=("only_train_generator", "only_train_critic", "fields"),
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def print(self, msg):
+        if jax.process_index() == 0:
+            print(msg)
+
+    @property
+    def step(self) -> int:
+        return int(jax.device_get(self.state["step"]))
+
+    def _make_train_step(self):
+        model = self.model
+        has_critic = model.critic is not None
+
+        def train_step(
+            state,
+            batch: Tuple,
+            rng,
+            fields: Tuple[str, ...],
+            only_train_generator: bool = False,
+            only_train_critic: bool = False,
+        ):
+            kwargs = dict(zip(fields, batch))
+
+            def loss_fn(params):
+                return model.loss(
+                    params,
+                    rng,
+                    only_train_generator=only_train_generator,
+                    only_train_critic=only_train_critic,
+                    **kwargs,
+                )
+
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["params"]
+            )
+
+            # freeze the untargeted half when only_train_* is set
+            if has_critic and not model.self_token_critic:
+                if only_train_critic:
+                    grads["maskgit"] = jax.tree_util.tree_map(
+                        jnp.zeros_like, grads["maskgit"]
+                    )
+                if only_train_generator and grads.get("critic") is not None:
+                    grads["critic"] = jax.tree_util.tree_map(
+                        jnp.zeros_like, grads["critic"]
+                    )
+
+            updates, new_opt_state = self.opt.update(
+                grads, state["opt_state"], state["params"]
+            )
+            new_params = optax.apply_updates(state["params"], updates)
+            new_state = {
+                "params": new_params,
+                "opt_state": new_opt_state,
+                "step": state["step"] + 1,
+            }
+            return new_state, metrics
+
+        return train_step
+
+    def data_tuple_to_fields(self, data: Tuple) -> Tuple[str, ...]:
+        if not exists(self.dataset_fields):
+            self.dataset_fields = determine_types(data)
+            assert len(set(self.dataset_fields)) == len(self.dataset_fields)
+        return self.dataset_fields
+
+    def train_step(
+        self, only_train_generator: bool = False, only_train_critic: bool = False
+    ) -> float:
+        assert self.dl is not None, "no dataset configured"
+        total_loss = 0.0
+
+        for _ in range(self.grad_accum_every):
+            data = next(self.dl)
+            fields = self.data_tuple_to_fields(data)
+
+            # texts must be embedded host-side before entering jit
+            batch = []
+            jit_fields = []
+            for name, el in zip(fields, data):
+                if name == "texts":
+                    emb = self.model.embed_texts(el)
+                    batch.append(jnp.asarray(emb))
+                    jit_fields.append("text_embeds")
+                else:
+                    batch.append(jnp.asarray(el))
+                    jit_fields.append(name)
+
+            assert not (
+                self.train_on_images
+                and "videos" in jit_fields
+                and batch[jit_fields.index("videos")].ndim != 4
+            ), (
+                "you have it set to train on images, but the dataset is not"
+                " returning image batches"
+            )
+
+            batch = [shard_batch(b, self.mesh) for b in batch]
+            self.rng, sub = jax.random.split(self.rng)
+            self.state, metrics = self._train_step(
+                self.state,
+                tuple(batch),
+                sub,
+                fields=tuple(jit_fields),
+                only_train_generator=only_train_generator,
+                only_train_critic=only_train_critic,
+            )
+            total_loss += float(jax.device_get(metrics["loss"])) / self.grad_accum_every
+
+        steps = self.step
+        if steps % self.log_every == 0:
+            self.print(f"{steps}: loss: {total_loss:.4f}")
+        self.logger.log(steps, {"loss": total_loss})
+
+        if (steps - 1) % self.save_and_sample_every == 0:
+            self._sample_and_save((steps - 1) // self.save_and_sample_every)
+
+        return total_loss
+
+    # ------------------------------------------------------------------ #
+
+    def _sample_and_save(self, milestone: int):
+        if jax.process_index() != 0:
+            return
+        model = self.model
+        model.params = jax.device_get(self.state["params"])
+
+        if not self.unconditional:
+            texts = choices(self.sample_texts, k=self.num_samples)
+        else:
+            texts = [None] * self.num_samples
+
+        groups = num_to_groups(self.num_samples, self.batch_size)
+        all_sampled = []
+        start = 0
+        for group_size in groups:
+            group_texts = texts[start : start + group_size]
+            start += group_size
+            kwargs = {}
+            if not self.unconditional:
+                kwargs["texts"] = list(group_texts)
+            else:
+                kwargs["batch_size"] = group_size
+            self.rng, sub = jax.random.split(self.rng)
+            if self.train_on_images:
+                sampled = model.sample_images(rng=sub, **kwargs)
+            else:
+                sampled = model.sample(
+                    num_frames=self.sample_num_frames, rng=sub, **kwargs
+                )
+            all_sampled.append(np.asarray(jax.device_get(sampled)))
+
+        sampled = np.concatenate(all_sampled, axis=0)
+
+        if not self.train_on_images:
+            folder = self.results_folder / f"videos.{milestone}"
+            folder.mkdir(parents=True, exist_ok=True)
+            for ind, video_tensor in enumerate(sampled):
+                caption = texts[ind]
+                slug = simple_slugify(caption) if exists(caption) else str(ind)
+                video_tensor_to_gif(video_tensor, str(folder / f"{slug}.gif"))
+        else:
+            nrows = int(math.sqrt(self.num_samples))
+            save_image_grid(
+                np.clip(sampled, 0.0, 1.0),
+                str(self.results_folder / f"{milestone}.png"),
+                nrow=nrows,
+            )
+
+        self.save(milestone)
+
+    def save(self, milestone: int):
+        self.checkpoints.save(
+            milestone,
+            jax.device_get(
+                {"params": self.state["params"], "step": self.state["step"]}
+            ),
+        )
+
+    def load(self, milestone: Optional[int] = None):
+        restored = self.checkpoints.restore(milestone)
+        new_state = dict(self.state)
+        new_state["params"] = restored["params"]
+        new_state["step"] = jnp.asarray(restored["step"], jnp.int32)
+        self.state = replicate(new_state, self.mesh)
+        self.model.params = jax.device_get(new_state["params"])
+
+    def train(
+        self, only_train_generator: bool = False, only_train_critic: bool = False
+    ):
+        while self.step < self.train_num_steps:
+            self.train_step(
+                only_train_generator=only_train_generator,
+                only_train_critic=only_train_critic,
+            )
+        self.print("training complete")

@@ -3,12 +3,14 @@
 Multi-chip hardware is not available in CI; sharding tests use
 `--xla_force_host_platform_device_count=8` fake devices — the JAX-native way
 to validate N-way sharding without a real slice (SURVEY.md §4).
-Must set env before jax initializes.
+
+Note: this image's sitecustomize registers the 'axon' TPU platform and forces
+JAX_PLATFORMS=axon, so the env var alone is not enough — we override the
+platform via jax.config after import (before any backend initializes).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +19,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
+
+# persistent compilation cache: repeated test runs skip XLA recompiles
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1,0 +1,133 @@
+"""Sharding tests on the virtual 8-device CPU mesh (SURVEY.md §2 parallelism
+inventory: DP via mesh 'dp' axis; TP extension over 'tp')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from phenaki_tpu.models.maskgit import MaskGit
+from phenaki_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    make_mesh,
+    partition_specs_for,
+    replicate,
+    shard_batch,
+    shard_params,
+)
+from phenaki_tpu.training.optimizer import get_optimizer
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+PATCH_SHAPE = (2, 2, 2)
+
+
+def build_maskgit():
+    mg = MaskGit(
+        dim=32, num_tokens=64, max_seq_len=16, depth=1, heads=2, dim_head=16,
+        dim_context=16,
+    )
+    ids = jnp.zeros((1, 8), jnp.int32)
+    ctx = jnp.zeros((1, 4, 16))
+    variables = mg.init(jax.random.PRNGKey(0), ids, video_patch_shape=PATCH_SHAPE, context=ctx)
+    return mg, variables
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(tp=2)
+    assert mesh.shape[DATA_AXIS] == 4
+    assert mesh.shape[MODEL_AXIS] == 2
+    mesh_dp = make_mesh()
+    assert mesh_dp.shape[DATA_AXIS] == 8
+
+
+def test_tp_param_sharding_rules():
+    mg, variables = build_maskgit()
+    mesh = make_mesh(tp=2)
+    sharded = shard_params(variables["params"], mesh)
+    specs = partition_specs_for(variables["params"], mesh)
+    layer = sharded["transformer"]["layers_0_self_attn"]
+    # column-parallel qkv: output dim sharded over tp
+    q_shard = layer["to_q"]["kernel"].sharding.spec
+    assert tuple(q_shard) == (None, MODEL_AXIS)
+    # row-parallel output proj
+    o_shard = layer["to_out"]["kernel"].sharding.spec
+    assert tuple(o_shard)[0] == MODEL_AXIS
+
+
+def test_dp_tp_forward_matches_single_device():
+    mg, variables = build_maskgit()
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 8), 0, 64)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (8, 4, 16))
+
+    expected = mg.apply(variables, ids, video_patch_shape=PATCH_SHAPE, context=ctx)
+
+    mesh = make_mesh(tp=2)
+    params = shard_params(variables["params"], mesh)
+    ids_s = shard_batch(ids, mesh)
+    ctx_s = shard_batch(ctx, mesh)
+
+    @jax.jit
+    def fwd(p, ids, ctx):
+        return mg.apply(
+            {"params": p}, ids, video_patch_shape=PATCH_SHAPE, context=ctx
+        )
+
+    with mesh:
+        got = fwd(params, ids_s, ctx_s)
+
+    np.testing.assert_allclose(
+        np.asarray(expected), np.asarray(got), atol=2e-4
+    )
+
+
+def test_sharded_train_step_runs_and_matches():
+    """One CE train step, 8-way dp+tp sharded vs single-device."""
+    mg, variables = build_maskgit()
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 8), 0, 64)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (8, 4, 16))
+    labels = jax.random.randint(jax.random.PRNGKey(3), (8, 8), 0, 64)
+
+    opt = get_optimizer(lr=1e-3, wd=0.0)
+
+    def loss_fn(p, ids, ctx, labels):
+        logits = mg.apply(
+            {"params": p}, ids, video_patch_shape=PATCH_SHAPE, context=ctx
+        )
+        return jnp.mean(
+            optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32), labels
+            )
+        )
+
+    def step(p, opt_state, ids, ctx, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(p, ids, ctx, labels)
+        updates, opt_state = opt.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), grads, loss
+
+    # single device
+    p0 = variables["params"]
+    s0 = opt.init(p0)
+    p1, g1, loss1 = jax.jit(step)(p0, s0, ids, ctx, labels)
+
+    # sharded
+    mesh = make_mesh(tp=2)
+    p_sh = shard_params(p0, mesh)
+    s_sh = replicate(opt.init(p0), mesh)
+    with mesh:
+        p2, g2, loss2 = jax.jit(step)(
+            p_sh, s_sh, shard_batch(ids, mesh), shard_batch(ctx, mesh),
+            shard_batch(labels, mesh),
+        )
+
+    np.testing.assert_allclose(float(loss1), float(loss2), atol=1e-5)
+    # compare gradients, not post-Adam params: Adam normalizes near-zero
+    # grads to lr-scale updates, amplifying reduction-order noise
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+    for leaf in jax.tree_util.tree_leaves(p2):
+        assert np.all(np.isfinite(np.asarray(leaf)))

@@ -1,0 +1,211 @@
+"""Trainer smoke tests (tiny configs): the reference-parity train loops run,
+losses move, artifacts + checkpoints appear (SURVEY.md §3.1/§3.2)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from phenaki_tpu.data.codecs import video_tensor_to_gif
+from phenaki_tpu.models.cvivit import CViViT
+from phenaki_tpu.models.maskgit import MaskGit
+from phenaki_tpu.models.phenaki import Phenaki
+
+
+def tiny_cvivit():
+    return CViViT(
+        dim=32,
+        codebook_size=64,
+        image_size=16,
+        patch_size=8,
+        temporal_patch_size=2,
+        spatial_depth=1,
+        temporal_depth=1,
+        dim_head=16,
+        heads=2,
+    )
+
+
+@pytest.fixture
+def image_folder(tmp_path):
+    from PIL import Image
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(8):
+        arr = (np.random.rand(16, 16, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"{i}.png")
+    return str(d)
+
+
+@pytest.fixture
+def video_folder(tmp_path):
+    d = tmp_path / "vids"
+    d.mkdir()
+    for i in range(4):
+        video = np.random.rand(5, 16, 16, 3).astype(np.float32)
+        video_tensor_to_gif(video, str(d / f"{i}.gif"), optimize=False)
+    return str(d)
+
+
+def test_cvivit_trainer_images_recon_only(image_folder, tmp_path):
+    from phenaki_tpu.training.cvivit_trainer import CViViTTrainer
+
+    trainer = CViViTTrainer(
+        tiny_cvivit(),
+        num_train_steps=3,
+        batch_size=2,
+        folder=image_folder,
+        train_on_images=True,
+        use_vgg_and_gan=False,
+        valid_frac=0.25,
+        save_results_every=2,
+        save_model_every=2,
+        results_folder=str(tmp_path / "results"),
+        use_ema=True,
+        log_every=1,
+    )
+    losses = []
+    trainer.train(log_fn=lambda logs: losses.append(logs["loss"]))
+    assert len(losses) == 3
+    assert all(np.isfinite(l) for l in losses)
+    assert trainer.step == 3
+    # checkpoint written
+    trainer.checkpoints.wait()
+    assert trainer.checkpoints.latest_step is not None
+    # recon grid written
+    assert any((tmp_path / "results").glob("*.png"))
+
+
+def test_cvivit_trainer_videos_with_gan(video_folder, tmp_path):
+    from phenaki_tpu.training.cvivit_trainer import CViViTTrainer
+
+    trainer = CViViTTrainer(
+        tiny_cvivit(),
+        num_train_steps=2,
+        batch_size=2,
+        folder=video_folder,
+        num_frames=5,
+        use_vgg_and_gan=True,
+        discr_base_dim=4,
+        discr_attn_res_layers=(),
+        valid_frac=0.0,
+        save_results_every=1000,
+        save_model_every=1000,
+        results_folder=str(tmp_path / "results"),
+        use_ema=False,
+        apply_grad_penalty_every=2,
+        log_every=1,
+    )
+    logs = trainer.train_step()
+    assert np.isfinite(logs["loss"])
+    assert np.isfinite(logs["discr_loss"])
+    assert logs["grad_penalty"] > 0  # step 0 applies the penalty
+    logs2 = trainer.train_step()
+    assert logs2["grad_penalty"] == 0.0  # step 1 skips it
+
+
+def test_cvivit_trainer_save_load_roundtrip(image_folder, tmp_path):
+    from phenaki_tpu.training.cvivit_trainer import CViViTTrainer
+
+    trainer = CViViTTrainer(
+        tiny_cvivit(),
+        num_train_steps=1,
+        batch_size=2,
+        folder=image_folder,
+        train_on_images=True,
+        use_vgg_and_gan=False,
+        valid_frac=0.0,
+        save_results_every=1000,
+        save_model_every=1000,
+        results_folder=str(tmp_path / "results"),
+    )
+    trainer.train_step()
+    trainer.save(7)
+    trainer.checkpoints.wait()
+    before = jax.device_get(trainer.state["vae_params"])
+    trainer.train_step()  # params move
+    trainer.load(7)
+    after = jax.device_get(trainer.state["vae_params"])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)
+    ):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+class MockTextVideoDataset:
+    """The README's MockTextVideoDataset pattern (reference README.md:254-287)."""
+
+    def __init__(self, length=8, image_size=16, num_frames=5):
+        self.length = length
+        self.shape = (num_frames, image_size, image_size, 3)
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx):
+        video = np.random.rand(*self.shape).astype(np.float32)
+        return video, "a video of a cat"
+
+
+def build_phenaki():
+    cvivit = tiny_cvivit()
+    cvivit_vars = cvivit.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 16, 16, 3)))
+    maskgit = MaskGit(
+        dim=32, num_tokens=64, max_seq_len=64, depth=1, heads=2, dim_head=16,
+        dim_context=512,
+    )
+    return Phenaki(
+        maskgit=maskgit,
+        cvivit=cvivit,
+        cvivit_vars=cvivit_vars,
+        steps=2,
+        t5_name="google/t5-v1_1-small",
+        max_text_len=8,
+    )
+
+
+def test_phenaki_trainer_with_mock_dataset(tmp_path):
+    from phenaki_tpu.training.phenaki_trainer import PhenakiTrainer
+
+    trainer = PhenakiTrainer(
+        build_phenaki(),
+        dataset=MockTextVideoDataset(),
+        batch_size=2,
+        num_frames=5,
+        sample_num_frames=3,
+        train_num_steps=2,
+        num_samples=1,
+        save_and_sample_every=1000,
+        results_folder=str(tmp_path / "results"),
+        sample_texts=["a cat"],
+        log_every=1,
+    )
+    loss1 = trainer.train_step()
+    assert np.isfinite(loss1)
+    assert trainer.dataset_fields == ("videos", "texts")
+    loss2 = trainer.train_step()
+    assert trainer.step == 2
+
+
+def test_phenaki_trainer_sampling_artifacts(tmp_path):
+    from phenaki_tpu.training.phenaki_trainer import PhenakiTrainer
+
+    trainer = PhenakiTrainer(
+        build_phenaki(),
+        dataset=MockTextVideoDataset(length=4),
+        batch_size=2,
+        num_frames=5,
+        sample_num_frames=3,
+        train_num_steps=1,
+        num_samples=1,
+        save_and_sample_every=1,  # sample at the first step
+        results_folder=str(tmp_path / "results"),
+        sample_texts=["a cat dancing"],
+    )
+    trainer.train_step()
+    trainer.checkpoints.wait()
+    gifs = list((tmp_path / "results").glob("videos.*/*.gif"))
+    assert len(gifs) >= 1
+    assert trainer.checkpoints.latest_step is not None
