@@ -148,15 +148,27 @@ class PEG(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
 
+        # depthwise 3x3x3 conv as an explicit 27-tap stencil: pure VPU
+        # elementwise multiply-adds that XLA fuses into one pass. A grouped
+        # `conv_general_dilated(feature_group_count=dim)` is equivalent but
+        # (a) depthwise conv never uses the MXU anyway and (b) its gradient
+        # mis-reduces under GSPMD when neighbors are tensor-sharded on the
+        # feature dim.
         frame_padding = (2, 0) if self.causal else (1, 1)
-        out = jax.lax.conv_general_dilated(
+        xp = jnp.pad(
             x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=(1, 1, 1),
-            padding=(frame_padding, (1, 1), (1, 1)),
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            feature_group_count=self.dim,
+            ((0, 0), frame_padding, (1, 1), (1, 1), (0, 0)),
         )
+        k = kernel.astype(self.dtype)
+        _, T, H, W, _ = x.shape
+        out = jnp.zeros_like(x, dtype=self.dtype)
+        for dt in range(3):
+            for dh in range(3):
+                for dw in range(3):
+                    out = out + (
+                        xp[:, dt : dt + T, dh : dh + H, dw : dw + W, :]
+                        * k[dt, dh, dw, 0]
+                    )
         out = out + bias.astype(self.dtype)
 
         if untranspose:
