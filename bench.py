@@ -13,10 +13,19 @@ program in bfloat16.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+VERBOSE = os.environ.get("BENCH_VERBOSE", "") == "1"
+_T0 = time.perf_counter()
+
+
+def _stage(msg: str) -> None:
+    if VERBOSE:
+        print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def main():
@@ -52,7 +61,12 @@ def main():
         dtype=dtype,
     )
     rng = jax.random.PRNGKey(0)
-    cvivit_vars = cvivit.init(rng, jnp.zeros((1, 3, 256, 128, 3), dtype))
+    from phenaki_tpu.utils.jit_init import jit_init
+
+    _stage("init cvivit")
+    cvivit_vars = jit_init(cvivit, rng, jnp.zeros((1, 3, 256, 128, 3), dtype))
+    jax.block_until_ready(cvivit_vars)
+    _stage("cvivit init done")
 
     n_tokens = cvivit.num_tokens_per_frames(num_frames)  # 1152
     maskgit = MaskGit(
@@ -74,6 +88,8 @@ def main():
         max_text_len=128,
     )
     phenaki.init(jax.random.PRNGKey(1))
+    jax.block_until_ready(phenaki.params)
+    _stage("phenaki init done")
 
     text_embeds = np.random.randn(1, 50, 768).astype(np.float32)
 
@@ -86,8 +102,10 @@ def main():
         )
 
     # warmup/compile
+    _stage("compiling sample program")
     video = run(0)
     video.block_until_ready()
+    _stage("sample program compiled + first run done")
 
     iters = 5
     t0 = time.perf_counter()

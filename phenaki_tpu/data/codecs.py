@@ -35,9 +35,19 @@ def video_tensor_to_gif(
     loop: int = 0,
     optimize: bool = True,
 ) -> None:
-    """(frames, H, W, c) float [0,1] -> animated gif (reference data.py:103-113)."""
+    """(frames, H, W, c) float [0,1] -> animated gif (reference data.py:103-113).
+
+    Uses the native C++ encoder (native/phenaki_io.cpp) when available;
+    falls back to PIL."""
     tensor = np.asarray(tensor)
     frames = np.clip(tensor * 255.0, 0, 255).astype(np.uint8)
+
+    if frames.shape[-1] == 3:
+        from phenaki_tpu.data import native
+
+        if native.available():
+            native.gif_encode(path, frames, delay_ms=duration, loop=loop)
+            return
     images = [Image.fromarray(f.squeeze(-1) if f.shape[-1] == 1 else f) for f in frames]
     first, *rest = images
     first.save(
@@ -51,7 +61,16 @@ def video_tensor_to_gif(
 
 
 def gif_to_tensor(path: str, channels: int = 3, transform=None) -> np.ndarray:
-    """gif -> (frames, H, W, c) float32 [0,1] (reference data.py:117-124)."""
+    """gif -> (frames, H, W, c) float32 [0,1] (reference data.py:117-124).
+
+    With no per-frame transform and RGB output, decoding goes through the
+    native C++ codec when available."""
+    if transform is None and channels == 3:
+        from phenaki_tpu.data import native
+
+        if native.available():
+            return native.gif_decode(path).astype(np.float32) / 255.0
+
     img = Image.open(path)
     frames = []
     for frame in seek_all_images(img, channels=channels):

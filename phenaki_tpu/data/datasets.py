@@ -120,6 +120,9 @@ class VideoDataset:
         self.folder = folder
         self.image_size = pair(image_size)
         self.channels = channels
+        self.num_frames = num_frames
+        self.force_num_frames = force_num_frames
+        self.horizontal_flip = horizontal_flip
         self.paths = sorted(
             p for ext in exts for p in Path(folder).glob(f"**/*.{ext}")
         )
@@ -134,6 +137,11 @@ class VideoDataset:
             else identity
         )
 
+    def _native_fast_path(self) -> bool:
+        from phenaki_tpu.data import native
+
+        return self.channels == 3 and self.force_num_frames and native.available()
+
     def __len__(self):
         return len(self.paths)
 
@@ -141,6 +149,21 @@ class VideoDataset:
         path = self.paths[index]
         ext = path.suffix
         if ext == ".gif":
+            if self._native_fast_path():
+                # C++ codec: decode + resize + crop + flip + frame-cast in one
+                # pass (native/phenaki_io.cpp), no PIL round trips
+                from phenaki_tpu.data import native
+
+                flip = np.asarray(
+                    [self.horizontal_flip and random.random() < 0.5], np.uint8
+                )
+                return native.load_gif_batch(
+                    [str(path)],
+                    num_frames=self.num_frames,
+                    height=self.image_size[0],
+                    width=self.image_size[1],
+                    hflip=flip,
+                )[0]
             video = self.gif_to_tensor(str(path))
         elif ext == ".mp4":
             video = self.mp4_to_tensor(str(path))

@@ -68,6 +68,12 @@ class MaskGit(nn.Module):
         )
         self.to_logits = nn.Dense(self.num_tokens, dtype=self.dtype)
 
+    def rel_pos_bias(self, video_patch_shape: Tuple[int, int, int]) -> jax.Array:
+        """(heads, n, n) 3-D CPB bias for a static patch shape. Exposed so the
+        decode scan can hoist the bias MLP out of the loop (it only depends on
+        static shapes + params) instead of re-running it every step."""
+        return self.continuous_pos_bias(*video_patch_shape)
+
     def __call__(
         self,
         x: jax.Array,  # (b, n) or (b, t, h, w) token ids
@@ -77,6 +83,7 @@ class MaskGit(nn.Module):
         text_mask: Optional[jax.Array] = None,  # (b, m)
         video_mask: Optional[jax.Array] = None,  # (b, n)
         context: Optional[jax.Array] = None,  # (b, m, dim_context)
+        attn_bias: Optional[jax.Array] = None,  # precomputed rel_pos_bias
         return_embeds: bool = False,
         deterministic: bool = True,
     ) -> jax.Array:
@@ -91,7 +98,11 @@ class MaskGit(nn.Module):
             f"sequence length {n} exceeds max_seq_len {self.max_seq_len}"
         )
 
-        rel_pos_bias = self.continuous_pos_bias(*video_patch_shape)
+        rel_pos_bias = (
+            attn_bias
+            if attn_bias is not None
+            else self.continuous_pos_bias(*video_patch_shape)
+        )
 
         if context is not None and text_mask is None:
             text_mask = jnp.ones(context.shape[:2], dtype=bool)

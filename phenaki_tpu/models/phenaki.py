@@ -33,6 +33,7 @@ from phenaki_tpu.models.maskgit import MaskGit, SelfCritic, TokenCritic
 from phenaki_tpu.models.sampling_loop import maskgit_sample_loop
 from phenaki_tpu.ops.sampling import get_mask_subset_with_prob, gumbel_sample
 from phenaki_tpu.text.t5 import DEFAULT_T5_NAME, get_encoded_dim, t5_encode_text
+from phenaki_tpu.utils.jit_init import jit_init
 
 
 def exists(v):
@@ -114,22 +115,22 @@ class Phenaki:
             if self.unconditional
             else jnp.zeros((1, self.max_text_len, self.text_embed_dim))
         )
-        mg_vars = self.maskgit.init(
-            k1, ids, video_patch_shape=patch_shape, context=ctx
+        mg_vars = jit_init(
+            self.maskgit, k1, ids, video_patch_shape=patch_shape, context=ctx
         )
 
         critic_vars = None
         if exists(self.critic):
             if self.self_token_critic:
-                full = self.critic.init(
-                    k2, ids, video_patch_shape=patch_shape, context=ctx
+                full = jit_init(
+                    self.critic, k2, ids, video_patch_shape=patch_shape, context=ctx
                 )
                 # trunk params are shared with maskgit; store only the head
                 critic_vars = {"params": {"to_pred": full["params"]["to_pred"]}}
             else:
                 c_ctx = ctx if self.critic.has_cross_attn else None
-                critic_vars = self.critic.init(
-                    k2, ids, video_patch_shape=patch_shape, context=c_ctx
+                critic_vars = jit_init(
+                    self.critic, k2, ids, video_patch_shape=patch_shape, context=c_ctx
                 )
 
         self.params = {
@@ -373,6 +374,12 @@ class Phenaki:
 
             mg_vars = {"params": params["maskgit"]}
 
+            # hoist the CPB bias MLP (depends only on static shape + params)
+            # out of the decode scan — one evaluation instead of `steps`
+            rel_pos_bias = maskgit.apply(
+                mg_vars, patch_shape, method=MaskGit.rel_pos_bias
+            )
+
             def logits_fn(input_ids):
                 return maskgit.apply(
                     mg_vars,
@@ -381,6 +388,7 @@ class Phenaki:
                     context=context,
                     text_mask=text_mask,
                     cond_scale=cond_scale,
+                    attn_bias=rel_pos_bias,
                     method=MaskGit.forward_with_cond_scale,
                 )
 

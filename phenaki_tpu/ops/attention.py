@@ -22,6 +22,23 @@ from phenaki_tpu.ops.positional import alibi_bias
 NEG_INF = -1e30
 
 
+def _use_flash(q, attn_bias, dropout_rate, deterministic) -> bool:
+    """Route to the fused Pallas kernel when it applies: TPU backend (or test
+    override), no attention dropout, per-head (unbatched) bias, dim_head that
+    fits a VMEM block, and enough tokens for the kernel to matter."""
+    from phenaki_tpu.ops import pallas_attention as pa
+
+    if dropout_rate > 0.0 and not deterministic:
+        return False
+    if attn_bias is not None and attn_bias.ndim == 4:
+        return False
+    if q.shape[-1] > 128 or q.shape[-2] < 64:
+        return False
+    if pa._INTERPRET:
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def qk_norm_attention(
     q: jax.Array,  # (b, h, i, d)
     k: jax.Array,  # (b, h, j, d)
@@ -41,9 +58,24 @@ def qk_norm_attention(
     q and k are expected already L2-normalized and per-dim scaled by the
     caller (the learned q_scale/k_scale); this function applies the fixed
     `scale`, biases, masks, softmax (fp32), and the PV matmul.
+
+    On TPU this dispatches to the fused Pallas flash kernel
+    (ops/pallas_attention.py) — one HBM pass, no materialized (i, j) matrix.
     """
     b, h, i, d = q.shape
     j = k.shape[2]
+
+    if _use_flash(q, attn_bias, dropout_rate, deterministic):
+        from phenaki_tpu.ops.pallas_attention import NEG_INF as _NEG, flash_qk_attention
+
+        bias = attn_bias
+        if causal and use_alibi:
+            ab = alibi_bias(h, i, j)
+            bias = ab if bias is None else bias + ab
+        kmask_add = None
+        if key_mask is not None:
+            kmask_add = jnp.where(key_mask, 0.0, _NEG).astype(jnp.float32)
+        return flash_qk_attention(q, k, v, bias, kmask_add, float(scale), causal)
 
     sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
     sim = sim * scale

@@ -52,6 +52,7 @@ from phenaki_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from phenaki_tpu.training.checkpoint import CheckpointManager
 from phenaki_tpu.training.ema import EMAState, ema_init, ema_update
 from phenaki_tpu.training.optimizer import get_optimizer
+from phenaki_tpu.utils.jit_init import jit_init
 from phenaki_tpu.utils.image_grid import save_image_grid
 from phenaki_tpu.utils.logging import accum_log, MetricLogger
 
@@ -125,7 +126,7 @@ class CViViTTrainer:
         else:
             f = 1 + vae.temporal_patch_size
             example = jnp.zeros((1, f, *image_hw, vae.channels))
-        vae_vars = vae.init(init_rng, example)
+        vae_vars = jit_init(vae, init_rng, example)
 
         self.discr = None
         discr_vars = {"params": {}}
@@ -139,8 +140,8 @@ class CViViTTrainer:
                 attn_res_layers=discr_attn_res_layers,
                 dtype=vae.dtype,
             )
-            discr_vars = self.discr.init(
-                discr_rng, jnp.zeros((1, *image_hw, vae.channels))
+            discr_vars = jit_init(
+                self.discr, discr_rng, jnp.zeros((1, *image_hw, vae.channels))
             )
             self.vgg, default_vgg = init_vgg(dtype=vae.dtype)
             self.vgg_vars = vgg_params if exists(vgg_params) else default_vgg
