@@ -104,14 +104,17 @@ def main():
     # warmup/compile
     _stage("compiling sample program")
     video = run(0)
-    video.block_until_ready()
+    # NOTE: through the tunneled TPU backend, block_until_ready returns before
+    # remote execution finishes — a device->host value transfer is the only
+    # honest completion barrier, so every timed iteration fetches the video.
+    np.asarray(jax.device_get(video))
     _stage("sample program compiled + first run done")
 
     iters = 5
     t0 = time.perf_counter()
     for i in range(1, iters + 1):
         video = run(i)
-    video.block_until_ready()
+        np.asarray(jax.device_get(video))
     dt = (time.perf_counter() - t0) / iters
 
     frames_per_sec = num_frames / dt

@@ -100,7 +100,13 @@ class CViViT(nn.Module):
         if include_first_frame:
             num_frames -= 1
             total += tokens_per_frame
-        assert num_frames % self.temporal_patch_size == 0
+        assert num_frames % self.temporal_patch_size == 0, (
+            f"number of frames after the first ({num_frames}) must be divisible"
+            f" by temporal_patch_size ({self.temporal_patch_size}); use"
+            f" 1 + k*{self.temporal_patch_size} total frames for unprimed"
+            f" scenes, or a multiple of {self.temporal_patch_size} new frames"
+            " for primed scenes"
+        )
         return total + (num_frames // self.temporal_patch_size) * tokens_per_frame
 
     def frames_per_num_tokens(self, num_tokens: int) -> int:

@@ -95,7 +95,9 @@ class MaskGit(nn.Module):
 
         b, n = x.shape
         assert n <= self.max_seq_len, (
-            f"sequence length {n} exceeds max_seq_len {self.max_seq_len}"
+            f"sequence length {n} exceeds max_seq_len {self.max_seq_len} —"
+            " when sampling with prime frames, max_seq_len must cover the"
+            " prime tokens plus the new scene's tokens"
         )
 
         rel_pos_bias = (

@@ -190,9 +190,14 @@ class Phenaki:
         only_train_generator: bool = False,
         only_train_critic: bool = False,
         train: bool = True,
+        cvivit_vars: Optional[Dict[str, Any]] = None,
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """Masked-token CE (+ critic BCE) training loss
-        (reference phenaki_pytorch.py:562-687, quirk Q1 fixed)."""
+        (reference phenaki_pytorch.py:562-687, quirk Q1 fixed).
+
+        Pass `cvivit_vars` explicitly when calling from inside a jitted step so
+        the frozen tokenizer weights enter as an argument instead of being
+        baked into the compiled program as constants (bloats the HLO)."""
         assert not (only_train_generator and only_train_critic)
         assert exists(videos) ^ exists(video_codebook_ids)
         assert (
@@ -202,9 +207,11 @@ class Phenaki:
         rng_mask, rng_step, rng_drop, rng_gumbel = jax.random.split(rng, 4)
 
         if not exists(video_codebook_ids):
+            if not exists(cvivit_vars):
+                cvivit_vars = self.cvivit_vars
             video_codebook_ids = jax.lax.stop_gradient(
                 self.cvivit.apply(
-                    self.cvivit_vars, videos, return_only_codebook_ids=True
+                    cvivit_vars, videos, return_only_codebook_ids=True
                 )
             )
 
@@ -356,9 +363,12 @@ class Phenaki:
         maskgit = self.maskgit
         critic = self.critic
         cvivit = self.cvivit
-        cvivit_vars = self.cvivit_vars
 
-        def sample_program(params, rng, prime_frames, text_embeds):
+        # cvivit_vars enters as an ARGUMENT, not a closure: closed-over arrays
+        # are baked into the program as constants, which bloats the HLO upload
+        # (the TPU backend compiles via an HTTP service with a body-size cap)
+        # and forces a recompile if the tokenizer is ever swapped.
+        def sample_program(params, cvivit_vars, rng, prime_frames, text_embeds):
             prime_ids = None
             if has_prime:
                 prime_ids = cvivit.apply(
@@ -491,7 +501,7 @@ class Phenaki:
                 noise_K=noise_K,
             )
         fn = self._sample_cache[key]
-        return fn(params, rng, prime_frames, text_embeds)
+        return fn(params, self.cvivit_vars, rng, prime_frames, text_embeds)
 
     def sample_images(
         self,

@@ -26,6 +26,10 @@ from typing import Any, Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from phenaki_tpu.ops.pallas_sampling import (
+    gumbel_sample_with_score,
+    use_fused_sampling,
+)
 from phenaki_tpu.ops.sampling import gumbel_sample, topk_mask
 
 NEG_SCORE = -1e4
@@ -89,7 +93,18 @@ def maskgit_sample_loop(
         temperature = starting_temperature * steps_til_x0.astype(jnp.float32) / steps
 
         key, k_sample, k_noise = jax.random.split(key, 3)
-        pred_ids = gumbel_sample(k_sample, logits, temperature).astype(jnp.int32)
+        fused = use_fused_sampling()
+        if fused:
+            # one Pallas pass: hardware-PRNG gumbel argmax + softmax score
+            # (replaces three XLA passes over the (n, vocab) logits)
+            seed = jax.random.randint(k_sample, (), 0, 2**31 - 1)
+            pred_ids, fused_score = gumbel_sample_with_score(
+                logits, seed, temperature
+            )
+        else:
+            pred_ids = gumbel_sample(k_sample, logits, temperature).astype(
+                jnp.int32
+            )
         ids = jnp.where(remask, pred_ids, ids)
 
         if critic_fn is not None:
@@ -122,9 +137,14 @@ def maskgit_sample_loop(
                 (ids, k_noise, step),
             )
         else:
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-            chosen = jnp.take_along_axis(probs, pred_ids[..., None], axis=-1)[..., 0]
-            scores = 1.0 - chosen
+            if fused:
+                scores = fused_score
+            else:
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                chosen = jnp.take_along_axis(
+                    probs, pred_ids[..., None], axis=-1
+                )[..., 0]
+                scores = 1.0 - chosen
             scores = jnp.where(remask, scores, NEG_SCORE)
 
         return (ids, scores, key), None

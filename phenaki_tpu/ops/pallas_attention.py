@@ -37,9 +37,16 @@ NEG_INF = -1e30
 _INTERPRET = False  # flipped by tests / CPU fallback
 
 
+_BLOCK_Q_CANDIDATES = (512, 384, 256, 128)
+_BLOCK_K_CANDIDATES = (512, 384, 256, 128)
+
+
 def _block_sizes(i: int, j: int):
-    bq = 256 if i % 256 == 0 else 128
-    bk = 256 if j % 256 == 0 else 128
+    """Largest divisor blocks <= 512: fewer grid steps = less per-step
+    overhead, and bigger MXU tiles (the d=64 contraction is narrow, so the
+    (bq, d) @ (d, bk) matmuls need large bq/bk to fill the systolic array)."""
+    bq = next((c for c in _BLOCK_Q_CANDIDATES if i % c == 0), 128)
+    bk = next((c for c in _BLOCK_K_CANDIDATES if j % c == 0), 128)
     return min(bq, _round_up(i, 128)), min(bk, _round_up(j, 128))
 
 
@@ -159,6 +166,10 @@ def _flash_forward(
         )
     if bias is not None and (i_pad != i or j_pad != j):
         bias = jnp.pad(bias, ((0, 0), (0, i_pad - i), (0, j_pad - j)))
+    if bias is not None:
+        # stream the bias in the compute dtype: it is the largest input
+        # (h, i, j) and attention adds it pre-softmax where bf16 is plenty
+        bias = bias.astype(out_dtype)
 
     num_q_blocks = i_pad // block_q
     num_k_blocks = j_pad // block_k

@@ -1,0 +1,141 @@
+"""Fused gumbel-argmax sampling + confidence score Pallas TPU kernel.
+
+The MaskGit decode step (reference phenaki_pytorch.py:503-550) needs, per
+token: (a) a temperature-annealed gumbel-max sample over the vocab and (b) a
+re-masking score 1 - p(chosen) from the un-tempered softmax. Composed from
+XLA ops that is three passes over the (n, 65536) logits (threefry noise,
+argmax, softmax+gather), each a full HBM round trip. This kernel does all of
+it in ONE pass per logits block using the TPU hardware PRNG
+(pltpu.prng_random_bits): noise, tempered argmax, and the softmax statistics
+(max + sum-exp) are computed while the block is resident in VMEM.
+
+Sampling math matches ops/sampling.py::gumbel_sample exactly except for the
+noise source (hardware PRNG vs threefry) — same distribution, different
+stream, so results are deterministic per seed but not bit-equal to the XLA
+path. For CPU/interpret testing (the TPU PRNG primitives have no CPU
+lowering), uniform noise can be injected explicitly via `noise=`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False  # flipped by tests on CPU
+
+_ROW_BLOCK = 8
+
+
+def _kernel(seed_ref, temp_ref, logits_ref, *rest, has_noise: bool):
+    if has_noise:
+        noise_ref, ids_ref, score_ref = rest
+    else:
+        (ids_ref, score_ref) = rest
+        noise_ref = None
+
+    i = pl.program_id(0)
+    logits = logits_ref[...].astype(jnp.float32)  # (rows, V)
+    rows, v = logits.shape
+
+    if noise_ref is not None:
+        u = noise_ref[...].astype(jnp.float32)
+    else:
+        pltpu.prng_seed(seed_ref[0] + i)
+        # uniform (0,1) from the top 24 bits of hardware random words
+        # (bitcast first: the raw bits lower as SIGNED int32, and an
+        # arithmetic shift would produce negative "uniforms" -> NaN gumbel)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((rows, v)), jnp.uint32)
+        # logical shift clears the top byte, so the value fits int31 and the
+        # bitcast->int32 is value-preserving (Mosaic lacks a uint32->f32 cast)
+        u = pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * (
+            1.0 / (1 << 24)
+        )
+
+    eps = 1e-10
+    gumbel = -jnp.log(-jnp.log(u + eps) + eps)
+
+    inv_temp = 1.0 / jnp.maximum(temp_ref[0], 1e-10)
+    y = logits * inv_temp + gumbel
+    ids = jnp.argmax(y, axis=-1)  # (rows,)
+    ids_ref[...] = ids.reshape(rows, 1).astype(jnp.int32)
+
+    # score = 1 - softmax(logits)[chosen], on the UN-tempered logits
+    # (reference :547-549)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    sumexp = jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, v), 1)
+    chosen_logit = jnp.max(
+        jnp.where(col == ids.reshape(rows, 1), logits, -jnp.inf),
+        axis=-1,
+        keepdims=True,
+    )
+    p_chosen = jnp.exp(chosen_logit - m) / sumexp
+    score_ref[...] = (1.0 - p_chosen).astype(jnp.float32)
+
+
+def gumbel_sample_with_score(
+    logits: jax.Array,  # (b, n, V)
+    seed: jax.Array,  # scalar int32 (traced ok)
+    temperature: jax.Array,  # scalar f32 (traced ok)
+    noise: jax.Array | None = None,  # (b, n, V) uniform(0,1); testing hook
+):
+    """One fused pass: (sampled ids (b, n) int32, scores (b, n) f32)."""
+    b, n, v = logits.shape
+    rows = b * n
+    flat = logits.reshape(rows, v)
+
+    pad = (-rows) % _ROW_BLOCK
+    if pad:
+        flat = jnp.pad(flat, ((0, pad), (0, 0)))
+    total = rows + pad
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((_ROW_BLOCK, v), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        jnp.asarray(temperature, jnp.float32).reshape(1),
+        flat,
+    ]
+    if noise is not None:
+        flat_noise = noise.reshape(rows, v)
+        if pad:
+            flat_noise = jnp.pad(
+                flat_noise, ((0, pad), (0, 0)), constant_values=0.5
+            )
+        in_specs.append(
+            pl.BlockSpec((_ROW_BLOCK, v), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(flat_noise.astype(jnp.float32))
+
+    grid = (total // _ROW_BLOCK,)
+    ids, score = pl.pallas_call(
+        functools.partial(_kernel, has_noise=noise is not None),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((_ROW_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROW_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((total, 1), jnp.int32),
+            jax.ShapeDtypeStruct((total, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_INTERPRET,
+    )(*operands)
+    ids = ids[:rows, 0].reshape(b, n)
+    score = score[:rows, 0].reshape(b, n)
+    return ids, score
+
+
+def use_fused_sampling() -> bool:
+    return jax.default_backend() == "tpu"

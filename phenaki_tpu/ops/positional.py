@@ -54,20 +54,23 @@ class AlibiPositionalBias(nn.Module):
         return alibi_bias(self.heads, i, j)
 
 
-def _relative_position_grid(dimensions: Sequence[int], log_dist: bool) -> np.ndarray:
+def _relative_position_grid(dimensions: Sequence[int], log_dist: bool) -> jax.Array:
     """(N, N, num_dims) signed relative coordinates of an N-D grid, N = prod(dims).
 
-    Host-side numpy: the grid only depends on the static patch shape, so it is
-    computed once at trace time and baked into the compiled program
-    (avoids the per-forward recompute the reference does, attention.py:257-268).
+    Built from device-side iota + broadcasts (NOT a host numpy literal): for
+    the flagship (9, 8, 16) grid the materialized table is 16 MB, and baking
+    it into the HLO as a constant bloats every program upload to the
+    remote-compile service. The iota formulation costs a few VPU ops at run
+    time and keeps the program tiny. Shape is static, so XLA still folds all
+    the indexing arithmetic (avoids the per-forward recompute the reference
+    does, attention.py:257-268).
     """
-    positions = [np.arange(d) for d in dimensions]
-    grid = np.stack(np.meshgrid(*positions, indexing="ij"))  # (c, *dims)
+    positions = [jnp.arange(d, dtype=jnp.float32) for d in dimensions]
+    grid = jnp.stack(jnp.meshgrid(*positions, indexing="ij"))  # (c, *dims)
     grid = grid.reshape(grid.shape[0], -1).T  # (N, c)
     rel = grid[:, None, :] - grid[None, :, :]  # (N, N, c)
-    rel = rel.astype(np.float32)
     if log_dist:
-        rel = np.sign(rel) * np.log(np.abs(rel) + 1.0)
+        rel = jnp.sign(rel) * jnp.log(jnp.abs(rel) + 1.0)
     return rel
 
 

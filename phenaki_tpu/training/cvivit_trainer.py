@@ -95,6 +95,8 @@ class CViViTTrainer:
         mesh=None,
         seed: int = 42,
         log_every: int = 10,
+        profile_dir: Optional[str] = None,
+        profile_steps: tuple = (2, 4),
     ):
         self.vae = vae
         self.use_vgg_and_gan = use_vgg_and_gan
@@ -111,6 +113,8 @@ class CViViTTrainer:
         self.ema_update_every = ema_update_every
         self.train_on_images = train_on_images
         self.log_every = log_every
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
 
         self.mesh = mesh if exists(mesh) else make_mesh()
         self.logger = MetricLogger()
@@ -319,9 +323,21 @@ class CViViTTrainer:
 
     # ------------------------------------------------------------------ #
 
+    def _maybe_profile(self, step: int) -> None:
+        """jax.profiler capture of steps [start, stop) when profile_dir is
+        set (SURVEY.md §5.1: tracing hooks the reference lacks)."""
+        if not self.profile_dir:
+            return
+        start, stop = self.profile_steps
+        if step == start:
+            jax.profiler.start_trace(self.profile_dir)
+        elif step == stop:
+            jax.profiler.stop_trace()
+
     def train_step(self) -> Dict[str, float]:
         assert self.dl_iter is not None, "no dataset configured"
         steps = self.step
+        self._maybe_profile(steps)
         apply_gp = (steps % self.apply_grad_penalty_every) == 0
 
         logs: Dict[str, float] = {}

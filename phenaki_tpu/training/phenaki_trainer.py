@@ -113,6 +113,8 @@ class PhenakiTrainer:
         mesh=None,
         seed: int = 42,
         log_every: int = 10,
+        profile_dir: Optional[str] = None,
+        profile_steps: Tuple[int, int] = (2, 4),
     ):
         self.model = phenaki
         assert phenaki.cvivit is not None, "cvivit must be present on phenaki"
@@ -129,6 +131,8 @@ class PhenakiTrainer:
         self.num_samples = num_samples
         self.save_and_sample_every = save_and_sample_every
         self.log_every = log_every
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
 
         assert (
             int(math.isqrt(num_samples)) ** 2 == num_samples
@@ -222,6 +226,9 @@ class PhenakiTrainer:
             state,
             batch: Tuple,
             rng,
+            cvivit_vars,  # frozen tokenizer weights as an ARG (not a baked
+            # constant): keeps the compiled program small (remote-compile
+            # body caps) and swap-safe
             fields: Tuple[str, ...],
             only_train_generator: bool = False,
             only_train_critic: bool = False,
@@ -234,6 +241,7 @@ class PhenakiTrainer:
                     rng,
                     only_train_generator=only_train_generator,
                     only_train_critic=only_train_critic,
+                    cvivit_vars=cvivit_vars,
                     **kwargs,
                 )
 
@@ -271,10 +279,22 @@ class PhenakiTrainer:
             assert len(set(self.dataset_fields)) == len(self.dataset_fields)
         return self.dataset_fields
 
+    def _maybe_profile(self, step: int) -> None:
+        """jax.profiler capture of steps [start, stop) when profile_dir is
+        set (SURVEY.md §5.1: tracing hooks the reference lacks)."""
+        if not self.profile_dir:
+            return
+        start, stop = self.profile_steps
+        if step == start:
+            jax.profiler.start_trace(self.profile_dir)
+        elif step == stop:
+            jax.profiler.stop_trace()
+
     def train_step(
         self, only_train_generator: bool = False, only_train_critic: bool = False
     ) -> float:
         assert self.dl is not None, "no dataset configured"
+        self._maybe_profile(self.step)
         total_loss = 0.0
 
         for _ in range(self.grad_accum_every):
@@ -308,6 +328,7 @@ class PhenakiTrainer:
                 self.state,
                 tuple(batch),
                 sub,
+                self.model.cvivit_vars,
                 fields=tuple(jit_fields),
                 only_train_generator=only_train_generator,
                 only_train_critic=only_train_critic,

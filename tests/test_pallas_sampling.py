@@ -1,0 +1,90 @@
+"""Fused gumbel-sample + score kernel (ops/pallas_sampling.py), interpret mode.
+
+The kernel's noise stream differs from threefry (hardware PRNG), so the checks
+are semantic: argmax at temperature->0, exact score math given the returned
+ids, determinism, and an empirical-distribution match at T=1. The TPU PRNG
+primitives have no CPU lowering, so CPU tests inject uniform noise explicitly
+(`noise=`); the hardware-PRNG path is exercised on the real chip by bench.py
+and the verify flow.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import phenaki_tpu.ops.pallas_sampling as ps
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(ps, "_INTERPRET", True)
+
+
+def _noise(key, shape):
+    return jax.random.uniform(jax.random.PRNGKey(key), shape, jnp.float32, 1e-6, 1 - 1e-6)
+
+
+def test_low_temperature_is_argmax():
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(2, 16, 128) * 5, jnp.float32)
+    ids, _ = ps.gumbel_sample_with_score(
+        logits, seed=7, temperature=0.0, noise=_noise(0, logits.shape)
+    )
+    np.testing.assert_array_equal(np.asarray(ids), np.argmax(np.asarray(logits), -1))
+
+
+def test_score_is_one_minus_softmax_prob():
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(1, 8, 128), jnp.float32)
+    ids, score = ps.gumbel_sample_with_score(
+        logits, seed=3, temperature=0.7, noise=_noise(1, logits.shape)
+    )
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    chosen = np.take_along_axis(np.asarray(probs), np.asarray(ids)[..., None], -1)[..., 0]
+    np.testing.assert_allclose(np.asarray(score), 1.0 - chosen, atol=1e-5, rtol=1e-5)
+
+
+def test_deterministic_per_noise():
+    rng = np.random.RandomState(2)
+    logits = jnp.asarray(rng.randn(2, 8, 128), jnp.float32)
+    n1, n2 = _noise(11, logits.shape), _noise(12, logits.shape)
+    a1, s1 = ps.gumbel_sample_with_score(logits, seed=0, temperature=1.0, noise=n1)
+    a2, s2 = ps.gumbel_sample_with_score(logits, seed=0, temperature=1.0, noise=n1)
+    b1, _ = ps.gumbel_sample_with_score(logits, seed=0, temperature=1.0, noise=n2)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    assert np.any(np.asarray(a1) != np.asarray(b1))
+
+
+def test_samples_follow_softmax_distribution():
+    # 3 dominant categories among 128; empirical freq over many rows must
+    # track softmax(logits/T) at T=1
+    logits_row = np.full((128,), -4.0, np.float32)
+    logits_row[[5, 40, 100]] = [2.0, 1.5, 1.0]
+    rows = 4096
+    logits = jnp.asarray(np.tile(logits_row, (1, rows, 1)), jnp.float32)
+
+    ids, _ = ps.gumbel_sample_with_score(
+        logits, seed=5, temperature=1.0, noise=_noise(5, logits.shape)
+    )
+    ids = np.asarray(ids).ravel()
+
+    probs = np.exp(logits_row - logits_row.max())
+    probs /= probs.sum()
+    for cat in (5, 40, 100):
+        emp = (ids == cat).mean()
+        assert abs(emp - probs[cat]) < 0.03, (cat, emp, probs[cat])
+
+
+def test_row_padding():
+    # rows not divisible by the 8-row block: padding must not leak
+    rng = np.random.RandomState(3)
+    logits = jnp.asarray(rng.randn(1, 5, 128) * 4, jnp.float32)
+    ids, score = ps.gumbel_sample_with_score(
+        logits, seed=1, temperature=0.0, noise=_noise(6, logits.shape)
+    )
+    assert ids.shape == (1, 5)
+    assert score.shape == (1, 5)
+    np.testing.assert_array_equal(np.asarray(ids), np.argmax(np.asarray(logits), -1))
