@@ -146,9 +146,15 @@ class MaskGit(nn.Module):
         cond_scale: float = 3.0,
         text_mask: Optional[jax.Array] = None,
         context: Optional[jax.Array] = None,
+        combine: bool = True,
         **kwargs,
     ) -> jax.Array:
-        """CFG: null + (cond - null) * scale, batched into one forward."""
+        """CFG: null + (cond - null) * scale, batched into one forward.
+
+        With combine=False the STACKED (2b, n, vocab) logits are returned
+        (first b = conditioned, last b = null) so a downstream consumer — the
+        fused Pallas sampling kernel — can apply the combine without the
+        split/recombine ever touching HBM."""
         if cond_scale == 1 or self.unconditional or context is None:
             return self(x, text_mask=text_mask, context=context, **kwargs)
 
@@ -163,6 +169,8 @@ class MaskGit(nn.Module):
             vm = jnp.concatenate([vm, vm], axis=0)
 
         logits2 = self(x2, text_mask=mask2, context=ctx2, video_mask=vm, **kwargs)
+        if not combine:
+            return logits2
         logits, null_logits = jnp.split(logits2, 2, axis=0)
         return null_logits + (logits - null_logits) * cond_scale
 

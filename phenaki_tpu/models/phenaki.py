@@ -390,6 +390,12 @@ class Phenaki:
                 mg_vars, patch_shape, method=MaskGit.rel_pos_bias
             )
 
+            # on TPU the CFG combine is fused into the sampling kernel: the
+            # forward returns STACKED cond/null logits (no split/recombine)
+            from phenaki_tpu.ops.pallas_sampling import use_fused_sampling
+
+            use_stacked = has_text and cond_scale != 1 and use_fused_sampling()
+
             def logits_fn(input_ids):
                 return maskgit.apply(
                     mg_vars,
@@ -398,6 +404,7 @@ class Phenaki:
                     context=context,
                     text_mask=text_mask,
                     cond_scale=cond_scale,
+                    combine=not use_stacked,
                     attn_bias=rel_pos_bias,
                     method=MaskGit.forward_with_cond_scale,
                 )
@@ -432,6 +439,7 @@ class Phenaki:
                 critic_fn=critic_fn,
                 noise_K=noise_K,
                 critic_noise_anneal_schedule=self.critic_noise_anneal_schedule,
+                stacked_cfg_scale=cond_scale if use_stacked else None,
             )
 
             if has_prime:

@@ -48,10 +48,13 @@ def maskgit_sample_loop(
     critic_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     noise_K: float = 1.0,
     critic_noise_anneal_schedule: str = "decay",
+    stacked_cfg_scale: Optional[float] = None,
 ) -> jax.Array:
     """Run the iterative decode; returns final token ids (b, num_tokens_seq).
 
-    `logits_fn(ids)`: (b, P+n) ids -> (b, P+n, vocab) CFG-combined logits.
+    `logits_fn(ids)`: (b, P+n) ids -> (b, P+n, vocab) CFG-combined logits —
+    or, when `stacked_cfg_scale` is set, the STACKED (2b, P+n, vocab) cond/null
+    logits whose CFG combine is fused into the sampling kernel.
     `critic_fn(ids)`: (b, P+n) ids -> (b, P+n) critic scores.
     Both close over params/context; they are traced once inside the scan.
     """
@@ -95,13 +98,17 @@ def maskgit_sample_loop(
         key, k_sample, k_noise = jax.random.split(key, 3)
         fused = use_fused_sampling()
         if fused:
-            # one Pallas pass: hardware-PRNG gumbel argmax + softmax score
-            # (replaces three XLA passes over the (n, vocab) logits)
+            # one Pallas pass: hardware-PRNG gumbel argmax + softmax score,
+            # with the CFG combine fused in when logits arrive stacked
+            # (replaces up to four XLA passes over the (n, vocab) logits)
             seed = jax.random.randint(k_sample, (), 0, 2**31 - 1)
             pred_ids, fused_score = gumbel_sample_with_score(
-                logits, seed, temperature
+                logits, seed, temperature, cond_scale=stacked_cfg_scale
             )
         else:
+            if stacked_cfg_scale is not None:
+                cond, null = jnp.split(logits, 2, axis=0)
+                logits = null + (cond - null) * stacked_cfg_scale
             pred_ids = gumbel_sample(k_sample, logits, temperature).astype(
                 jnp.int32
             )

@@ -39,15 +39,29 @@ _INTERPRET = False  # flipped by tests / CPU fallback
 
 _BLOCK_Q_CANDIDATES = (512, 384, 256, 128)
 _BLOCK_K_CANDIDATES = (512, 384, 256, 128)
+# cap bq*bk so the f32 score block stays ~<1MB of VMEM (plus pipelining room)
+_MAX_BLOCK_AREA = 512 * 512
 
 
 def _block_sizes(i: int, j: int):
-    """Largest divisor blocks <= 512: fewer grid steps = less per-step
-    overhead, and bigger MXU tiles (the d=64 contraction is narrow, so the
-    (bq, d) @ (d, bk) matmuls need large bq/bk to fill the systolic array)."""
-    bq = next((c for c in _BLOCK_Q_CANDIDATES if i % c == 0), 128)
-    bk = next((c for c in _BLOCK_K_CANDIDATES if j % c == 0), 128)
-    return min(bq, _round_up(i, 128)), min(bk, _round_up(j, 128))
+    """Largest divisor blocks under a VMEM budget. Kernel-invocation overhead
+    (~10 us on this backend) dominates at small blocks — a (2, 8, 9, 9) grid
+    of 128x128 tiles costs more in setup than in math — and the d=64
+    contraction needs large bq/bk tiles to fill the MXU. bq may cover the
+    whole query axis (multiple of 8 sublanes suffices); bk must stay a
+    multiple of 128 lanes for the bias block."""
+    i_pad = _round_up(i, 128)
+    j_pad = _round_up(j, 128)
+    bq = next((c for c in _BLOCK_Q_CANDIDATES if i_pad % c == 0), 128)
+    bk = next(
+        (
+            c
+            for c in _BLOCK_K_CANDIDATES
+            if j_pad % c == 0 and bq * c <= _MAX_BLOCK_AREA
+        ),
+        128,
+    )
+    return min(bq, i_pad), min(bk, j_pad)
 
 
 def _round_up(x: int, m: int) -> int:

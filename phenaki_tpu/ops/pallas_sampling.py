@@ -30,15 +30,21 @@ _INTERPRET = False  # flipped by tests on CPU
 _ROW_BLOCK = 8
 
 
-def _kernel(seed_ref, temp_ref, logits_ref, *rest, has_noise: bool):
-    if has_noise:
-        noise_ref, ids_ref, score_ref = rest
-    else:
-        (ids_ref, score_ref) = rest
-        noise_ref = None
+def _kernel(seed_ref, temp_ref, logits_ref, *rest, has_noise: bool, has_cfg: bool):
+    rest = list(rest)
+    null_ref = rest.pop(0) if has_cfg else None
+    scale_ref = rest.pop(0) if has_cfg else None
+    noise_ref = rest.pop(0) if has_noise else None
+    ids_ref, score_ref = rest
 
     i = pl.program_id(0)
     logits = logits_ref[...].astype(jnp.float32)  # (rows, V)
+    if has_cfg:
+        # classifier-free guidance combine fused in: the (rows, V) cond and
+        # null logits are read once and never materialized combined in HBM
+        # (reference phenaki_pytorch.py:149-161 runs it as a separate pass)
+        null = null_ref[...].astype(jnp.float32)
+        logits = null + (logits - null) * scale_ref[0]
     rows, v = logits.shape
 
     if noise_ref is not None:
@@ -78,20 +84,34 @@ def _kernel(seed_ref, temp_ref, logits_ref, *rest, has_noise: bool):
 
 
 def gumbel_sample_with_score(
-    logits: jax.Array,  # (b, n, V)
+    logits: jax.Array,  # (b, n, V), or stacked CFG (2b, n, V) with cond_scale
     seed: jax.Array,  # scalar int32 (traced ok)
     temperature: jax.Array,  # scalar f32 (traced ok)
     noise: jax.Array | None = None,  # (b, n, V) uniform(0,1); testing hook
+    cond_scale: jax.Array | float | None = None,  # CFG scale for stacked input
 ):
-    """One fused pass: (sampled ids (b, n) int32, scores (b, n) f32)."""
-    b, n, v = logits.shape
+    """One fused pass: (sampled ids (b, n) int32, scores (b, n) f32).
+
+    With `cond_scale`, `logits` is the STACKED CFG forward output
+    (first b rows = conditioned, last b rows = null) and the combine
+    `null + (cond - null) * scale` happens inside the kernel — the combined
+    logits are never written to HBM."""
+    has_cfg = cond_scale is not None
+    bb, n, v = logits.shape
+    b = bb // 2 if has_cfg else bb
     rows = b * n
-    flat = logits.reshape(rows, v)
+    flat = logits.reshape(bb * n, v)
 
     pad = (-rows) % _ROW_BLOCK
+    if pad and has_cfg:
+        # padding would shift the null-half offset; fall back to an XLA combine
+        cond, null = jnp.split(logits, 2, axis=0)
+        combined = null + (cond - null) * jnp.asarray(cond_scale, logits.dtype)
+        return gumbel_sample_with_score(combined, seed, temperature, noise)
     if pad:
         flat = jnp.pad(flat, ((0, pad), (0, 0)))
     total = rows + pad
+    null_block_offset = rows // _ROW_BLOCK if has_cfg else 0
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -103,6 +123,19 @@ def gumbel_sample_with_score(
         jnp.asarray(temperature, jnp.float32).reshape(1),
         flat,
     ]
+    if has_cfg:
+        # the SAME array enters twice: cond blocks at i, null blocks at
+        # i + rows/_ROW_BLOCK — no split, no copy
+        in_specs.append(
+            pl.BlockSpec(
+                (_ROW_BLOCK, v),
+                lambda i: (i + null_block_offset, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(flat)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.asarray(cond_scale, jnp.float32).reshape(1))
     if noise is not None:
         flat_noise = noise.reshape(rows, v)
         if pad:
@@ -116,7 +149,7 @@ def gumbel_sample_with_score(
 
     grid = (total // _ROW_BLOCK,)
     ids, score = pl.pallas_call(
-        functools.partial(_kernel, has_noise=noise is not None),
+        functools.partial(_kernel, has_noise=noise is not None, has_cfg=has_cfg),
         grid=grid,
         in_specs=in_specs,
         out_specs=(

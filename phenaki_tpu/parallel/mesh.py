@@ -81,14 +81,7 @@ def param_partition_spec(path: Tuple, value: Any, tp_enabled: bool = True) -> P:
     if tp_enabled:
         for pattern, spec in _TP_RULES:
             if re.match(pattern, joined):
-                # only shard if the dimension divides evenly
-                dims = np.shape(value)
-                ok = True
-                for axis_name, dim in zip(spec, dims):
-                    if axis_name is not None and dim is not None:
-                        ok = ok and True  # divisibility checked at shard time
-                if ok:
-                    return spec
+                return spec  # divisibility checked by callers at shard time
     return P()
 
 

@@ -88,3 +88,43 @@ def test_row_padding():
     assert ids.shape == (1, 5)
     assert score.shape == (1, 5)
     np.testing.assert_array_equal(np.asarray(ids), np.argmax(np.asarray(logits), -1))
+
+
+def test_stacked_cfg_combine_in_kernel():
+    """Stacked (2b, n, V) cond/null input + cond_scale must equal combining
+    in XLA first and then sampling with the same noise."""
+    rng = np.random.RandomState(7)
+    b, n, v = 2, 16, 128
+    cond = jnp.asarray(rng.randn(b, n, v) * 2, jnp.float32)
+    null = jnp.asarray(rng.randn(b, n, v) * 2, jnp.float32)
+    stacked = jnp.concatenate([cond, null], axis=0)
+    scale = 5.0
+    noise = _noise(9, (b, n, v))
+
+    ids_k, score_k = ps.gumbel_sample_with_score(
+        stacked, seed=0, temperature=0.8, noise=noise, cond_scale=scale
+    )
+    combined = null + (cond - null) * scale
+    ids_x, score_x = ps.gumbel_sample_with_score(
+        combined, seed=0, temperature=0.8, noise=noise
+    )
+    np.testing.assert_array_equal(np.asarray(ids_k), np.asarray(ids_x))
+    np.testing.assert_allclose(np.asarray(score_k), np.asarray(score_x), atol=1e-5)
+
+
+def test_stacked_cfg_odd_rows_fallback():
+    """rows % 8 != 0 takes the XLA-combine fallback; results must still match."""
+    rng = np.random.RandomState(8)
+    b, n, v = 1, 5, 128
+    cond = jnp.asarray(rng.randn(b, n, v) * 3, jnp.float32)
+    null = jnp.asarray(rng.randn(b, n, v) * 3, jnp.float32)
+    stacked = jnp.concatenate([cond, null], axis=0)
+    noise = _noise(10, (b, n, v))
+
+    ids_k, _ = ps.gumbel_sample_with_score(
+        stacked, seed=0, temperature=0.0, noise=noise, cond_scale=4.0
+    )
+    combined = null + (cond - null) * 4.0
+    np.testing.assert_array_equal(
+        np.asarray(ids_k), np.argmax(np.asarray(combined), -1)
+    )
