@@ -57,6 +57,7 @@ class CViViT(nn.Module):
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
     lookup_free_quantization: bool = True
+    remat: bool = False  # rematerialize transformer activations (big configs)
     dtype: jnp.dtype = jnp.float32
 
     # ------------------------------------------------------------------ #
@@ -157,6 +158,7 @@ class CViViT(nn.Module):
             ff_dropout=self.ff_dropout,
             causal=False,
             peg=False,
+            remat=self.remat,
             dtype=self.dtype,
         )
         # only temporal transformers have PEG and are causal (cvivit.py:297-308)
@@ -170,6 +172,7 @@ class CViViT(nn.Module):
             peg=True,
             peg_causal=True,
             peg_layout="bhw_t",  # sequence axis is time, batch folds space
+            remat=self.remat,
             dtype=self.dtype,
         )
 

@@ -40,6 +40,7 @@ class MaskGit(nn.Module):
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
     dim_context: Optional[int] = None
+    remat: bool = False  # rematerialize layer activations (big configs)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -64,6 +65,7 @@ class MaskGit(nn.Module):
             ff_dropout=self.ff_dropout,
             peg=True,
             dim_context=self.dim_context,
+            remat=self.remat,
             dtype=self.dtype,
         )
         self.to_logits = nn.Dense(self.num_tokens, dtype=self.dtype)
@@ -189,6 +191,7 @@ class TokenCritic(nn.Module):
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
     dim_context: Optional[int] = None
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -208,6 +211,7 @@ class TokenCritic(nn.Module):
             heads=self.heads,
             dim_head=self.dim_head,
             dim_context=self.dim_context,
+            remat=self.remat,
             dtype=self.dtype,
         )
         self.to_logits = nn.Dense(1, dtype=self.dtype)

@@ -346,8 +346,20 @@ class Phenaki:
         cond_scale: float,
         starting_temperature: float,
         noise_K: float,
+        mesh=None,
     ):
-        """One jitted program: prime tokenize -> decode scan -> video decode."""
+        """One jitted program: prime tokenize -> decode scan -> video decode.
+
+        With `mesh`, the program runs under shard_map with the batch sharded
+        over the 'dp' axis — sampling is embarrassingly batch-parallel, and
+        manual sharding keeps the Pallas kernels operating on local shapes
+        (GSPMD cannot partition an opaque pallas_call)."""
+        sharded = mesh is not None and mesh.shape.get("dp", 1) > 1
+        dp = mesh.shape["dp"] if sharded else 1
+        assert batch_size % dp == 0, (
+            f"sampling batch ({batch_size}) must divide the mesh dp axis ({dp})"
+        )
+        local_batch = batch_size // dp
         has_prime = prime_num_frames > 0
         num_tokens = self.cvivit.num_tokens_per_frames(
             num_frames, include_first_frame=not has_prime
@@ -369,12 +381,15 @@ class Phenaki:
         # (the TPU backend compiles via an HTTP service with a body-size cap)
         # and forces a recompile if the tokenizer is ever swapped.
         def sample_program(params, cvivit_vars, rng, prime_frames, text_embeds):
+            if sharded:
+                # decorrelate the per-shard random streams
+                rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
             prime_ids = None
             if has_prime:
                 prime_ids = cvivit.apply(
                     cvivit_vars, prime_frames, return_only_codebook_ids=True
                 )
-                prime_ids = prime_ids.reshape(batch_size, -1)
+                prime_ids = prime_ids.reshape(local_batch, -1)
 
             text_mask = None
             context = None
@@ -430,7 +445,7 @@ class Phenaki:
             ids = maskgit_sample_loop(
                 logits_fn,
                 rng=rng,
-                batch=batch_size,
+                batch=local_batch,
                 num_tokens_seq=num_tokens,
                 mask_id=self.mask_id,
                 steps=self.steps,
@@ -452,6 +467,17 @@ class Phenaki:
                 video = video[:, prime_num_frames:]
             return video
 
+        if sharded:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            sample_program = shard_map(
+                sample_program,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P("dp"), P("dp")),
+                out_specs=P("dp"),
+                check_vma=False,
+            )
         return jax.jit(sample_program)
 
     def sample(
@@ -467,10 +493,13 @@ class Phenaki:
         noise_K: float = 1.0,
         params: Optional[Dict[str, Any]] = None,
         rng: Optional[jax.Array] = None,
+        mesh=None,
     ) -> jax.Array:
         """Text-to-video sampling (reference phenaki_pytorch.py:418-560).
 
         Returns (b, num_frames, H, W, c) in the cvivit pixel space.
+        With `mesh`, the batch is sharded over the mesh's 'dp' axis
+        (batch_size must divide it) and each device samples its shard.
         """
         params = params if exists(params) else self.params
         assert exists(params), "no params — call init() or load a checkpoint"
@@ -497,6 +526,7 @@ class Phenaki:
             float(cond_scale),
             float(starting_temperature),
             float(noise_K),
+            id(mesh) if mesh is not None else None,
         )
         if key not in self._sample_cache:
             self._sample_cache[key] = self._build_sample_fn(
@@ -507,6 +537,7 @@ class Phenaki:
                 cond_scale=cond_scale,
                 starting_temperature=starting_temperature,
                 noise_K=noise_K,
+                mesh=mesh,
             )
         fn = self._sample_cache[key]
         return fn(params, self.cvivit_vars, rng, prime_frames, text_embeds)

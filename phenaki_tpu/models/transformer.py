@@ -40,6 +40,10 @@ class Transformer(nn.Module):
     has_cross_attn: bool = False
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
+    # rematerialize attention/FF activations in the backward pass — trades
+    # ~30% more FLOPs for O(depth) less activation HBM (jax.checkpoint;
+    # the reference has no equivalent, large configs rely on it on TPU)
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -53,6 +57,13 @@ class Transformer(nn.Module):
         cross_attn_context_mask: Optional[jax.Array] = None,  # (b, m)
         deterministic: bool = True,
     ) -> jax.Array:
+        attn_cls = Attention
+        ff_cls = FeedForward
+        if self.remat:
+            # deterministic (last positional arg) must stay static under remat
+            attn_cls = nn.remat(Attention, static_argnums=(5,))
+            ff_cls = nn.remat(FeedForward, static_argnums=(2,))
+
         for layer in range(self.depth):
             if self.peg:
                 x = (
@@ -66,8 +77,10 @@ class Transformer(nn.Module):
                     + x
                 )
 
+            # all-positional calls: nn.remat's static_argnums addresses
+            # positional indices only (deterministic must stay static)
             x = (
-                Attention(
+                attn_cls(
                     dim=self.dim,
                     dim_head=self.dim_head,
                     heads=self.heads,
@@ -75,18 +88,13 @@ class Transformer(nn.Module):
                     dropout=self.attn_dropout,
                     dtype=self.dtype,
                     name=f"layers_{layer}_self_attn",
-                )(
-                    x,
-                    attn_bias=attn_bias,
-                    mask=self_attn_mask,
-                    deterministic=deterministic,
-                )
+                )(x, self_attn_mask, None, attn_bias, deterministic)
                 + x
             )
 
             if self.has_cross_attn and context is not None:
                 x = (
-                    Attention(
+                    attn_cls(
                         dim=self.dim,
                         dim_head=self.dim_head,
                         dim_context=self.dim_context,
@@ -96,23 +104,18 @@ class Transformer(nn.Module):
                         dropout=self.attn_dropout,
                         dtype=self.dtype,
                         name=f"layers_{layer}_cross_attn",
-                    )(
-                        x,
-                        context=context,
-                        mask=cross_attn_context_mask,
-                        deterministic=deterministic,
-                    )
+                    )(x, cross_attn_context_mask, context, None, deterministic)
                     + x
                 )
 
             x = (
-                FeedForward(
+                ff_cls(
                     dim=self.dim,
                     mult=self.ff_mult,
                     dropout=self.ff_dropout,
                     dtype=self.dtype,
                     name=f"layers_{layer}_ff",
-                )(x, deterministic=deterministic)
+                )(x, deterministic)
                 + x
             )
 

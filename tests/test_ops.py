@@ -184,3 +184,33 @@ def test_gumbel_sample_zero_temperature_is_argmax():
 def test_cosine_schedule_endpoints():
     assert float(cosine_schedule(0.0)) == pytest.approx(1.0)
     assert float(cosine_schedule(1.0)) == pytest.approx(0.0, abs=1e-7)
+
+
+def test_transformer_remat_matches_no_remat():
+    """remat=True must change memory behavior only: outputs and gradients
+    identical to the plain transformer."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from phenaki_tpu.models.transformer import Transformer
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 12, 32), jnp.float32)
+    ctx = jnp.asarray(np.random.RandomState(1).randn(2, 5, 16), jnp.float32)
+
+    def build(remat):
+        return Transformer(
+            dim=32, depth=2, dim_head=16, heads=2, has_cross_attn=True,
+            dim_context=16, remat=remat,
+        )
+
+    t0, t1 = build(False), build(True)
+    v = t0.init(jax.random.PRNGKey(0), x, context=ctx)
+
+    def loss(params, t):
+        return jnp.sum(t.apply(params, x, context=ctx) ** 2)
+
+    l0, g0 = jax.value_and_grad(loss)(v, t0)
+    l1, g1 = jax.value_and_grad(loss)(v, t1)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

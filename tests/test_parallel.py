@@ -131,3 +131,46 @@ def test_sharded_train_step_runs_and_matches():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
     for leaf in jax.tree_util.tree_leaves(p2):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_sharded_sampling_over_dp():
+    """Batch-parallel sampling under shard_map: batch shards over 'dp', each
+    shard draws a decorrelated rng stream; output is the full global batch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from phenaki_tpu.models.cvivit import CViViT
+    from phenaki_tpu.models.maskgit import MaskGit
+    from phenaki_tpu.models.phenaki import Phenaki
+    from phenaki_tpu.parallel.mesh import make_mesh
+
+    cvivit = CViViT(
+        dim=32, codebook_size=64, image_size=16, patch_size=8,
+        temporal_patch_size=2, spatial_depth=1, temporal_depth=1,
+        dim_head=16, heads=2,
+    )
+    cvivit_vars = cvivit.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 16, 16, 3)))
+    maskgit = MaskGit(
+        dim=32, num_tokens=64, max_seq_len=16, depth=1, heads=2, dim_head=16,
+        dim_context=16,
+    )
+    ph = Phenaki(
+        maskgit=maskgit, cvivit=cvivit, cvivit_vars=cvivit_vars, steps=2,
+        text_embed_dim=16, max_text_len=4,
+    )
+    ph.init(jax.random.PRNGKey(1))
+
+    mesh = make_mesh(jax.devices()[:4], tp=1)  # dp=4
+    text_embeds = np.random.RandomState(0).randn(4, 3, 16).astype(np.float32)
+
+    video = ph.sample(
+        num_frames=3, text_embeds=text_embeds, mesh=mesh,
+        rng=jax.random.PRNGKey(7), cond_scale=2.0,
+    )
+    assert video.shape == (4, 3, 16, 16, 3)
+    v = np.asarray(video, np.float32)
+    assert np.isfinite(v).all()
+    # decorrelated shard rngs: identical text rows must still sample
+    # different videos across shards
+    assert not np.allclose(v[0], v[1])
