@@ -73,6 +73,15 @@ def pick_video_frame(video: jax.Array, frame_indices: jax.Array) -> jax.Array:
     )[:, 0]
 
 
+def _lift_to_rgb(frame: jax.Array) -> jax.Array:
+    """Grayscale -> 3-channel for the VGG input (the reference's grayscale
+    branch is broken, quirk Q3 — this is the intended channel repeat,
+    cvivit.py:641-643)."""
+    if frame.shape[-1] == 1:
+        return jnp.repeat(frame, 3, axis=-1)
+    return frame
+
+
 # --------------------------- recon loss ----------------------------------- #
 
 
@@ -158,7 +167,7 @@ def cvivit_generator_loss(
     frame_indices = pick_random_frame_indices(rng_frame, b, f, mask)
     input_frame = pick_video_frame(video5, frame_indices)
 
-    vgg_input_feats = vgg.apply(vgg_vars, input_frame)
+    vgg_input_feats = vgg.apply(vgg_vars, _lift_to_rgb(input_frame))
 
     # functions of the pixel-head params only: decoder activations constant.
     # This is exactly what grad_layer_wrt_loss computes (cvivit.py:97-103) —
@@ -183,7 +192,7 @@ def cvivit_generator_loss(
     def perceptual_of(pp):
         r5 = recon_from_pixel_params(pp)
         frame = pick_video_frame(r5, frame_indices)
-        feats = vgg.apply(vgg_vars, frame)
+        feats = vgg.apply(vgg_vars, _lift_to_rgb(frame))
         return jnp.mean(
             (vgg_input_feats.astype(jnp.float32) - feats.astype(jnp.float32)) ** 2
         )
@@ -197,7 +206,7 @@ def cvivit_generator_loss(
 
     # actual loss values, differentiable w.r.t. the full vae params
     recon_frame = pick_video_frame(recon5, frame_indices)
-    recon_vgg_feats = vgg.apply(vgg_vars, recon_frame)
+    recon_vgg_feats = vgg.apply(vgg_vars, _lift_to_rgb(recon_frame))
     perceptual_loss = jnp.mean(
         (vgg_input_feats.astype(jnp.float32) - recon_vgg_feats.astype(jnp.float32)) ** 2
     )

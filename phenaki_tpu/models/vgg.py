@@ -49,6 +49,11 @@ class VGG16Features(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         """x: (b, H, W, 3) in [0, 1]."""
+        # He init: without pretrained weights this is a fixed random-feature
+        # perceptual metric, and lecun_normal decays relu activations to ~0
+        # over 13 conv layers (perceptual loss underflows); he_normal keeps
+        # unit-scale signal through the relu chain
+        he = nn.initializers.he_normal()
         conv_idx = 0
         for spec in VGG16_PLAN:
             if spec == "M":
@@ -57,14 +62,21 @@ class VGG16Features(nn.Module):
                 if min(x.shape[1], x.shape[2]) >= 2:
                     x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
-                x = nn.Conv(spec, (3, 3), padding=1, dtype=self.dtype, name=f"conv_{conv_idx}")(x)
+                x = nn.Conv(
+                    spec,
+                    (3, 3),
+                    padding=1,
+                    kernel_init=he,
+                    dtype=self.dtype,
+                    name=f"conv_{conv_idx}",
+                )(x)
                 x = nn.relu(x)
                 conv_idx += 1
         x = _adaptive_avg_pool(x, (7, 7))
         # torch flattens NCHW (c, h, w) order; match it so converted weights work
         x = x.transpose(0, 3, 1, 2).reshape(x.shape[0], -1)
-        x = nn.relu(nn.Dense(4096, dtype=self.dtype, name="fc1")(x))
-        x = nn.relu(nn.Dense(4096, dtype=self.dtype, name="fc2")(x))
+        x = nn.relu(nn.Dense(4096, kernel_init=he, dtype=self.dtype, name="fc1")(x))
+        x = nn.relu(nn.Dense(4096, kernel_init=he, dtype=self.dtype, name="fc2")(x))
         return x
 
 

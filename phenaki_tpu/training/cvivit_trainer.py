@@ -178,9 +178,15 @@ class CViViTTrainer:
             if exists(dataset):
                 self.ds = dataset
             elif train_on_images:
+                assert vae.channels == 3, (
+                    "ImageDataset decodes RGB; set channels=3 or pass a custom"
+                    " dataset for grayscale"
+                )
                 self.ds = ImageDataset(folder, image_hw)
             else:
-                self.ds = VideoDataset(folder, image_hw, num_frames=num_frames)
+                self.ds = VideoDataset(
+                    folder, image_hw, channels=vae.channels, num_frames=num_frames
+                )
 
             if valid_frac > 0:
                 self.ds, self.valid_ds = random_split(

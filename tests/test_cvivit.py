@@ -183,3 +183,32 @@ def test_vq_variant_forward():
     recon, indices, aux = model.apply(variables, video)
     assert recon.shape == video.shape
     assert "vq_stats" in variables
+
+
+def test_generator_loss_grayscale_vgg_path():
+    """Quirk Q3: 1-channel video must work through the VGG perceptual loss
+    (the reference's grayscale branch references undefined names)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from phenaki_tpu.models.cvivit import CViViT, Discriminator
+    from phenaki_tpu.models.cvivit_losses import cvivit_generator_loss
+    from phenaki_tpu.models.vgg import init_vgg
+
+    model = CViViT(
+        dim=32, codebook_size=64, image_size=16, patch_size=8,
+        temporal_patch_size=2, spatial_depth=1, temporal_depth=1,
+        dim_head=16, heads=2, channels=1,
+    )
+    video = jnp.asarray(np.random.rand(2, 3, 16, 16, 1), jnp.float32)
+    vae_vars = model.init(jax.random.PRNGKey(0), video)
+    discr = Discriminator(dim=4, image_size=(16, 16), channels=1, attn_res_layers=())
+    discr_vars = discr.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 1)))
+    vgg, vgg_vars = init_vgg()
+
+    (loss, aux), _ = cvivit_generator_loss(
+        model, vae_vars, video, jax.random.PRNGKey(2),
+        discr=discr, discr_vars=discr_vars, vgg=vgg, vgg_vars=vgg_vars,
+    )
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(aux["perceptual_loss"]))
