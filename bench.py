@@ -58,6 +58,7 @@ def main():
         temporal_depth=4,
         dim_head=64,
         heads=8,
+        scan_layers=True,
         dtype=dtype,
     )
     rng = jax.random.PRNGKey(0)
@@ -77,6 +78,7 @@ def main():
         heads=8,
         dim_head=64,
         dim_context=768,
+        scan_layers=True,
         dtype=dtype,
     )
     phenaki = Phenaki(

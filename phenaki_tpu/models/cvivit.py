@@ -58,6 +58,7 @@ class CViViT(nn.Module):
     ff_dropout: float = 0.0
     lookup_free_quantization: bool = True
     remat: bool = False  # rematerialize transformer activations (big configs)
+    scan_layers: bool = False  # nn.scan over layers: faster compiles
     dtype: jnp.dtype = jnp.float32
 
     # ------------------------------------------------------------------ #
@@ -159,6 +160,7 @@ class CViViT(nn.Module):
             causal=False,
             peg=False,
             remat=self.remat,
+            scan_layers=self.scan_layers,
             dtype=self.dtype,
         )
         # only temporal transformers have PEG and are causal (cvivit.py:297-308)
@@ -173,6 +175,7 @@ class CViViT(nn.Module):
             peg_causal=True,
             peg_layout="bhw_t",  # sequence axis is time, batch folds space
             remat=self.remat,
+            scan_layers=self.scan_layers,
             dtype=self.dtype,
         )
 

@@ -41,6 +41,7 @@ class MaskGit(nn.Module):
     ff_dropout: float = 0.0
     dim_context: Optional[int] = None
     remat: bool = False  # rematerialize layer activations (big configs)
+    scan_layers: bool = False  # nn.scan over layers: faster compiles
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -66,6 +67,7 @@ class MaskGit(nn.Module):
             peg=True,
             dim_context=self.dim_context,
             remat=self.remat,
+            scan_layers=self.scan_layers,
             dtype=self.dtype,
         )
         self.to_logits = nn.Dense(self.num_tokens, dtype=self.dtype)
@@ -192,6 +194,7 @@ class TokenCritic(nn.Module):
     ff_dropout: float = 0.0
     dim_context: Optional[int] = None
     remat: bool = False
+    scan_layers: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -212,6 +215,7 @@ class TokenCritic(nn.Module):
             dim_head=self.dim_head,
             dim_context=self.dim_context,
             remat=self.remat,
+            scan_layers=self.scan_layers,
             dtype=self.dtype,
         )
         self.to_logits = nn.Dense(1, dtype=self.dtype)

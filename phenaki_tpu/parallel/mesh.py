@@ -81,6 +81,10 @@ def param_partition_spec(path: Tuple, value: Any, tp_enabled: bool = True) -> P:
     if tp_enabled:
         for pattern, spec in _TP_RULES:
             if re.match(pattern, joined):
+                # scan-over-layers params carry a leading depth axis
+                # (transformer.py scan_layers) — keep it replicated
+                if "layers_scan" in joined and np.ndim(value) == len(spec) + 1:
+                    spec = P(None, *spec)
                 return spec  # divisibility checked by callers at shard time
     return P()
 

@@ -214,3 +214,64 @@ def test_transformer_remat_matches_no_remat():
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_transformer_scan_layers_matches_unrolled():
+    """nn.scan over stacked layer params must be bit-compatible with the
+    unrolled loop given the same (stacked) parameters."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from phenaki_tpu.models.transformer import Transformer, stack_layer_params
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 12, 32), jnp.float32)
+    ctx = jnp.asarray(np.random.RandomState(1).randn(2, 5, 16), jnp.float32)
+    bias = jnp.asarray(np.random.RandomState(2).randn(2, 12, 12) * 0.1, jnp.float32)
+
+    kw = dict(
+        dim=32, depth=3, dim_head=16, heads=2, has_cross_attn=True,
+        dim_context=16, peg=True,
+    )
+    t_unrolled = Transformer(**kw)
+    t_scan = Transformer(**kw, scan_layers=True)
+
+    v = t_unrolled.init(
+        jax.random.PRNGKey(0), x, video_shape=(2, 3, 2, 2), context=ctx,
+        attn_bias=bias,
+    )
+    v_scan = {"params": stack_layer_params(v["params"], depth=3)}
+
+    out_u = t_unrolled.apply(
+        v, x, video_shape=(2, 3, 2, 2), context=ctx, attn_bias=bias
+    )
+    out_s = t_scan.apply(
+        v_scan, x, video_shape=(2, 3, 2, 2), context=ctx, attn_bias=bias
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_u), np.asarray(out_s), atol=1e-5, rtol=1e-5
+    )
+
+    # gradients must match too (scan differentiates through the stack)
+    def loss_u(p):
+        return jnp.sum(
+            t_unrolled.apply(
+                {"params": p}, x, video_shape=(2, 3, 2, 2), context=ctx,
+                attn_bias=bias,
+            ) ** 2
+        )
+
+    def loss_s(p):
+        return jnp.sum(
+            t_scan.apply(
+                {"params": p}, x, video_shape=(2, 3, 2, 2), context=ctx,
+                attn_bias=bias,
+            ) ** 2
+        )
+
+    g_u = jax.grad(loss_u)(v["params"])
+    g_s = jax.grad(loss_s)(v_scan["params"])
+    g_u_stacked = stack_layer_params(g_u, depth=3)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_u_stacked), jax.tree_util.tree_leaves(g_s)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

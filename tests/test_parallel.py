@@ -50,7 +50,7 @@ def test_tp_param_sharding_rules():
     mesh = make_mesh(tp=2)
     sharded = shard_params(variables["params"], mesh)
     specs = partition_specs_for(variables["params"], mesh)
-    layer = sharded["transformer"]["layers_0_self_attn"]
+    layer = sharded["transformer"]["layers_0"]["self_attn"]
     # column-parallel qkv: output dim sharded over tp
     q_shard = layer["to_q"]["kernel"].sharding.spec
     assert tuple(q_shard) == (None, MODEL_AXIS)
@@ -174,3 +174,26 @@ def test_sharded_sampling_over_dp():
     # decorrelated shard rngs: identical text rows must still sample
     # different videos across shards
     assert not np.allclose(v[0], v[1])
+
+
+def test_tp_param_sharding_rules_scan_layout():
+    """scan_layers stacks per-layer params with a leading depth axis; TP rules
+    must shard the same logical dims and keep the depth axis replicated."""
+    import jax.numpy as jnp
+
+    from phenaki_tpu.models.maskgit import MaskGit
+
+    mg = MaskGit(
+        dim=32, num_tokens=64, max_seq_len=16, depth=2, heads=2, dim_head=16,
+        dim_context=16, scan_layers=True,
+    )
+    variables = mg.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+        video_patch_shape=(2, 2, 2), context=jnp.zeros((1, 4, 16)),
+    )
+    mesh = make_mesh(tp=2)
+    sharded = shard_params(variables["params"], mesh)
+    layer = sharded["transformer"]["layers_scan"]["self_attn"]
+    assert layer["to_q"]["kernel"].ndim == 3  # (depth, in, out)
+    assert tuple(layer["to_q"]["kernel"].sharding.spec) == (None, None, MODEL_AXIS)
+    assert tuple(layer["to_out"]["kernel"].sharding.spec) == (None, MODEL_AXIS, None)
