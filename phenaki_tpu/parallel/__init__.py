@@ -5,6 +5,10 @@ from phenaki_tpu.parallel.mesh import (
     param_partition_spec,
     shard_params,
 )
+from phenaki_tpu.parallel.ring_attention import (
+    ring_qk_norm_attention,
+    sequence_sharded_attention,
+)
 
 __all__ = [
     "make_mesh",
@@ -12,4 +16,6 @@ __all__ = [
     "replicate",
     "param_partition_spec",
     "shard_params",
+    "ring_qk_norm_attention",
+    "sequence_sharded_attention",
 ]

@@ -1,0 +1,160 @@
+"""Ring attention: sequence-sharded QK-norm attention over a mesh axis.
+
+The reference achieves long video purely algorithmically (prime-frame
+chaining, SURVEY.md §5.7) — context/sequence parallelism is absent. This is
+the TPU-native extension the build plan calls for: when one scene's token
+sequence outgrows a chip (longer scenes, larger grids), shard the sequence
+over a mesh axis and compute exact attention blockwise, rotating K/V shards
+around the ring with `lax.ppermute` while online-softmax statistics (m, l)
+accumulate on-chip — the full (N, N) score matrix never exists anywhere.
+
+Same math as ops.attention.qk_norm_attention (fp32 softmax, additive bias,
+key masking, causal), verified against the dense op in tests on the virtual
+8-device mesh. Use under `shard_map` with q/k/v sharded on the sequence axis:
+
+    out = shard_map(
+        partial(ring_qk_norm_attention, axis_name="sp", scale=8.0),
+        mesh=mesh, in_specs=(P(None, None, "sp", None),) * 3,
+        out_specs=P(None, None, "sp", None),
+    )(q, k, v)
+
+Communication rides the ICI ring (one K/V shard per step, overlapping the
+per-block compute); each chip holds O(N/sp) keys at any moment.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def ring_qk_norm_attention(
+    q: jax.Array,  # (b, h, nq_local, d) — local sequence shard
+    k: jax.Array,  # (b, h, nk_local, d)
+    v: jax.Array,  # (b, h, nk_local, d)
+    *,
+    axis_name: str,
+    scale: float = 8.0,
+    attn_bias: Optional[jax.Array] = None,  # (h, nq_local, N_global) or None
+    key_mask_add: Optional[jax.Array] = None,  # (b, N_global) additive f32
+    causal: bool = False,
+) -> jax.Array:
+    """Exact attention with K/V ring rotation; call inside shard_map.
+
+    `attn_bias` rows are the LOCAL queries, columns the GLOBAL keys (each
+    shard holds its own row-slice of the full bias — O(N^2/sp) per chip).
+    `key_mask_add` is replicated (b, N_global) additive floats (0 / -inf).
+    """
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    sp = jax.lax.psum(1, axis_name)
+    my_idx = jax.lax.axis_index(axis_name)
+
+    perm = [(i, (i + 1) % sp) for i in range(sp)]
+
+    def body(step, carry):
+        m, l, acc, k_cur, v_cur = carry
+        # after `step` rotations we hold the shard of (my_idx - step) mod sp
+        owner = jax.lax.rem(my_idx - step + sp, sp)
+        k_off = owner * nk
+
+        s = jnp.einsum(
+            "bhid,bhjd->bhij", q, k_cur, preferred_element_type=jnp.float32
+        ) * scale
+
+        if attn_bias is not None:
+            blk = jax.lax.dynamic_slice_in_dim(
+                attn_bias.astype(jnp.float32), k_off, nk, axis=-1
+            )
+            s = s + blk[None]
+
+        if key_mask_add is not None:
+            mblk = jax.lax.dynamic_slice_in_dim(
+                key_mask_add.astype(jnp.float32), k_off, nk, axis=-1
+            )
+            s = s + mblk[:, None, None, :]
+
+        if causal:
+            row = jnp.arange(nq)[:, None] + my_idx * nq
+            col = jnp.arange(nk)[None, :] + k_off
+            s = jnp.where(col <= row, s, NEG_INF)
+
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+
+        l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.einsum(
+            "bhij,bhjd->bhid",
+            p.astype(v_cur.dtype),
+            v_cur,
+            preferred_element_type=jnp.float32,
+        )
+
+        # rotate K/V to the next chip (skipped compute-wise on the last step)
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+        return m_new, l, acc, k_nxt, v_nxt
+
+    m0 = jnp.full((b, h, nq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, h, nq, 1), jnp.float32)
+    acc0 = jnp.zeros((b, h, nq, d), jnp.float32)
+
+    m, l, acc, _, _ = jax.lax.fori_loop(0, sp, body, (m0, l0, acc0, k, v))
+    out = acc / jnp.maximum(l, 1e-30)
+    return out.astype(q.dtype)
+
+
+def sequence_sharded_attention(
+    q: jax.Array,  # (b, h, N, d) global
+    k: jax.Array,
+    v: jax.Array,
+    mesh,
+    *,
+    axis_name: str = "dp",
+    scale: float = 8.0,
+    attn_bias: Optional[jax.Array] = None,  # (h, N, N) global
+    key_mask: Optional[jax.Array] = None,  # (b, N) bool
+    causal: bool = False,
+) -> jax.Array:
+    """Convenience wrapper: shard the sequence axis of q/k/v (and the bias
+    rows) over `axis_name` and run ring attention. N must divide the axis."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    sp = mesh.shape[axis_name]
+    n = q.shape[2]
+    assert n % sp == 0, f"sequence length {n} must divide the {axis_name} axis ({sp})"
+
+    key_mask_add = None
+    if key_mask is not None:
+        key_mask_add = jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)
+
+    import functools
+
+    fn = functools.partial(
+        ring_qk_norm_attention,
+        axis_name=axis_name,
+        scale=scale,
+        causal=causal,
+    )
+
+    def wrapped(q, k, v, bias, kmask):
+        return fn(q, k, v, attn_bias=bias, key_mask_add=kmask)
+
+    seq = P(None, None, axis_name, None)
+    bias_spec = P(None, axis_name, None)  # row-sharded bias
+    in_specs = (seq, seq, seq, bias_spec, P())
+    out = shard_map(
+        wrapped,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=seq,
+        check_vma=False,
+    )(q, k, v, attn_bias, key_mask_add)
+    return out
