@@ -203,6 +203,7 @@ class DataLoader:
         prefetch: int = 2,
         seed: int = 0,
         collate_fn: Callable = collate_tensors_and_strings,
+        post_collate: Optional[Callable] = None,
     ):
         assert len(dataset) > 0, "dataset is empty"
         self.dataset = dataset
@@ -211,6 +212,9 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.collate_fn = collate_fn
+        # runs in the prefetch thread AFTER collation — trainers use it to
+        # cast pixel batches to the device compute dtype off the critical path
+        self.post_collate = post_collate
         self._rng = random.Random(seed)
 
     def __len__(self):
@@ -238,7 +242,10 @@ class DataLoader:
         def worker():
             try:
                 for b in batches:
-                    q.put(self.collate_fn([self.dataset[i] for i in b]))
+                    out = self.collate_fn([self.dataset[i] for i in b])
+                    if self.post_collate is not None:
+                        out = self.post_collate(out)
+                    q.put(out)
             finally:
                 q.put(sentinel)
 

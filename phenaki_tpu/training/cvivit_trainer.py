@@ -118,6 +118,12 @@ class CViViTTrainer:
 
         self.mesh = mesh if exists(mesh) else make_mesh()
         self.logger = MetricLogger()
+        import ml_dtypes
+
+        # pixels cross host->device in the compute dtype (halves transfer)
+        self._video_dtype = (
+            ml_dtypes.bfloat16 if vae.dtype == jnp.bfloat16 else np.float32
+        )
 
         rng = jax.random.PRNGKey(seed)
         rng, init_rng, discr_rng = jax.random.split(rng, 3)
@@ -203,11 +209,16 @@ class CViViTTrainer:
                     f"{len(self.ds)} samples"
                 )
 
-            self.dl_iter = cycle(DataLoader(self.ds, batch_size=batch_size))
+            self.dl_iter = cycle(DataLoader(
+                self.ds, batch_size=batch_size, post_collate=self._cast_batch
+            ))
             self.valid_dl_iter = cycle(
-                DataLoader(self.valid_ds, batch_size=batch_size)
+                DataLoader(
+                self.valid_ds, batch_size=batch_size, post_collate=self._cast_batch
+            )
             )
 
+        self._host_step = 0
         self.results_folder = Path(results_folder)
         self.results_folder.mkdir(parents=True, exist_ok=True)
         self.checkpoints = CheckpointManager(self.results_folder / "checkpoints")
@@ -226,9 +237,21 @@ class CViViTTrainer:
         if jax.process_index() == 0:
             print(msg)
 
+    def _cast_batch(self, batch):
+        """DataLoader post_collate hook: cast float pixel arrays to the
+        compute dtype inside the prefetch thread, off the step path."""
+        return tuple(
+            np.asarray(el, self._video_dtype)
+            if isinstance(el, np.ndarray) and np.issubdtype(el.dtype, np.floating)
+            else el
+            for el in batch
+        )
+
     @property
     def step(self) -> int:
-        return int(jax.device_get(self.state["step"]))
+        # host-side mirror: reading the device counter would force a sync
+        # (one tunnel round trip) on every access
+        return self._host_step
 
     def _make_gen_step(self):
         vae, discr, vgg = self.vae, self.discr, self.vgg
@@ -351,34 +374,35 @@ class CViViTTrainer:
         # generator phase (+ accumulation)
         for _ in range(self.grad_accum_every):
             (batch, *_r) = next(self.dl_iter)
-            batch = shard_batch(jnp.asarray(batch), self.mesh)
+            batch = shard_batch(
+                jnp.asarray(np.asarray(batch, self._video_dtype)), self.mesh
+            )
             self.rng, sub = jax.random.split(self.rng)
             self.state, metrics = self._gen_step(
                 self.state, self.vgg_vars, batch, sub
             )
+            # metrics stay on device — fetching per micro-batch serializes
+            # dispatch with the host (reference quirk: its .item() logging
+            # forced a device sync per micro-batch, SURVEY §3.1)
             accum_log(
                 logs,
-                {
-                    k: float(jax.device_get(v)) / self.grad_accum_every
-                    for k, v in metrics.items()
-                },
+                {k: v / self.grad_accum_every for k, v in metrics.items()},
             )
 
         # discriminator phase
         if self.use_vgg_and_gan:
             for _ in range(self.grad_accum_every):
                 (batch, *_r) = next(self.dl_iter)
-                batch = shard_batch(jnp.asarray(batch), self.mesh)
+                batch = shard_batch(
+                    jnp.asarray(np.asarray(batch, self._video_dtype)), self.mesh
+                )
                 self.rng, sub = jax.random.split(self.rng)
                 self.state, metrics = self._discr_step(
                     self.state, batch, sub, apply_grad_penalty=apply_gp
                 )
                 accum_log(
                     logs,
-                    {
-                        k: float(jax.device_get(v)) / self.grad_accum_every
-                        for k, v in metrics.items()
-                    },
+                    {k: v / self.grad_accum_every for k, v in metrics.items()},
                 )
             if steps % self.log_every == 0:
                 self.print(
@@ -396,6 +420,7 @@ class CViViTTrainer:
         if steps % self.save_model_every == 0:
             self.save(steps)
 
+        self._host_step += 1
         self.logger.log(steps, logs)
         return logs
 
@@ -472,6 +497,7 @@ class CViViTTrainer:
             )
         new_state["step"] = jnp.asarray(restored["step"], jnp.int32)
         self.state = replicate(new_state, self.mesh)
+        self._host_step = int(restored["step"])
 
     def train(self, log_fn=None):
         while self.step < self.num_train_steps:

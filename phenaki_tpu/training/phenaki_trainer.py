@@ -73,9 +73,11 @@ def determine_field(el: Any) -> str:
     arr = np.asarray(el)
     if arr.dtype == np.bool_:
         return "video_frame_mask"
-    if np.issubdtype(arr.dtype, np.integer):
+    if jnp.issubdtype(arr.dtype, jnp.integer):
         return "video_codebook_ids"
-    if np.issubdtype(arr.dtype, np.floating):
+    # jnp.issubdtype (not np): pixel batches may already be bfloat16
+    # (ml_dtypes), which numpy does not classify as floating
+    if jnp.issubdtype(arr.dtype, jnp.floating):
         if arr.ndim == 3:
             return "text_embeds"
         if arr.ndim in (4, 5):
@@ -167,7 +169,13 @@ class PhenakiTrainer:
         else:
             self.ds = None
         if exists(self.ds):
-            self.dl = cycle(DataLoader(self.ds, batch_size=batch_size))
+            self.dl = cycle(
+                DataLoader(
+                    self.ds,
+                    batch_size=batch_size,
+                    post_collate=self._cast_videos_in_batch,
+                )
+            )
 
         valid_fields = {
             "videos",
@@ -202,6 +210,14 @@ class PhenakiTrainer:
         self.results_folder = Path(results_folder)
         self.results_folder.mkdir(parents=True, exist_ok=True)
         self.checkpoints = CheckpointManager(self.results_folder / "checkpoints")
+        self._host_step = 0
+        import ml_dtypes
+
+        self._video_dtype = (
+            ml_dtypes.bfloat16
+            if phenaki.cvivit.dtype == jnp.bfloat16
+            else np.float32
+        )
 
         self._train_step = jax.jit(
             self._make_train_step(),
@@ -214,9 +230,23 @@ class PhenakiTrainer:
         if jax.process_index() == 0:
             print(msg)
 
+    def _cast_videos_in_batch(self, batch):
+        """DataLoader post_collate hook: cast float pixel fields (ndim >= 4)
+        to the compute dtype inside the prefetch thread, off the step path."""
+        return tuple(
+            np.asarray(el, self._video_dtype)
+            if isinstance(el, np.ndarray)
+            and np.issubdtype(el.dtype, np.floating)
+            and el.ndim >= 4
+            else el
+            for el in batch
+        )
+
     @property
     def step(self) -> int:
-        return int(jax.device_get(self.state["step"]))
+        # host-side mirror: reading the device counter would force a sync
+        # (and through a tunneled backend, a full round trip) on every access
+        return self._host_step
 
     def _make_train_step(self):
         model = self.model
@@ -309,6 +339,15 @@ class PhenakiTrainer:
                     emb = self.model.embed_texts(el)
                     batch.append(jnp.asarray(emb))
                     jit_fields.append("text_embeds")
+                elif name == "videos":
+                    # pixels cross host->device in the compute dtype: raw
+                    # video batches dominate transfer and the model consumes
+                    # bf16 anyway. The cast itself normally already happened
+                    # in the DataLoader prefetch thread (post_collate).
+                    batch.append(
+                        jnp.asarray(np.asarray(el, self._video_dtype))
+                    )
+                    jit_fields.append(name)
                 else:
                     batch.append(jnp.asarray(el))
                     jit_fields.append(name)
@@ -333,12 +372,16 @@ class PhenakiTrainer:
                 only_train_generator=only_train_generator,
                 only_train_critic=only_train_critic,
             )
-            total_loss += float(jax.device_get(metrics["loss"])) / self.grad_accum_every
+            # keep the loss on device: fetching per step would serialize
+            # dispatch with the host (one tunnel round trip per step)
+            total_loss = total_loss + metrics["loss"] / self.grad_accum_every
 
+        self._host_step += 1
         steps = self.step
         if steps % self.log_every == 0:
-            self.print(f"{steps}: loss: {total_loss:.4f}")
-        self.logger.log(steps, {"loss": total_loss})
+            loss_val = float(jax.device_get(total_loss))
+            self.print(f"{steps}: loss: {loss_val:.4f}")
+            self.logger.log(steps, {"loss": loss_val})
 
         if (steps - 1) % self.save_and_sample_every == 0:
             self._sample_and_save((steps - 1) // self.save_and_sample_every)
@@ -412,6 +455,7 @@ class PhenakiTrainer:
         new_state["step"] = jnp.asarray(restored["step"], jnp.int32)
         self.state = replicate(new_state, self.mesh)
         self.model.params = jax.device_get(new_state["params"])
+        self._host_step = int(restored["step"])
 
     def train(
         self, only_train_generator: bool = False, only_train_critic: bool = False

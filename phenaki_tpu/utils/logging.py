@@ -37,7 +37,13 @@ class MetricLogger:
     def log(self, step: int, metrics: Dict[str, float]) -> None:
         if self.path is None or jax.process_index() != 0:
             return
-        record = {"step": step, "t": time.time() - self._t0, **metrics}
+        # metrics may arrive as device scalars (trainers avoid per-step
+        # syncs); only a logger with a sink pays the fetch
+        record = {
+            "step": step,
+            "t": time.time() - self._t0,
+            **{k: float(v) for k, v in metrics.items()},
+        }
         with self.path.open("a") as f:
             f.write(json.dumps(record) + "\n")
 
