@@ -152,6 +152,31 @@ class Phenaki:
         return {"params": params["critic"]}
 
     # ------------------------------------------------------------------ #
+    # standalone checkpointing (reference CViViT.load / torch.save parity) #
+    # ------------------------------------------------------------------ #
+
+    def save(self, path: str) -> None:
+        """Save trainable params + frozen tokenizer vars to one directory."""
+        from phenaki_tpu.training.checkpoint import save_pytree
+
+        assert self.params is not None, "nothing to save — call init() first"
+        save_pytree(
+            path,
+            {
+                "params": jax.device_get(self.params),
+                "cvivit_vars": jax.device_get(self.cvivit_vars),
+            },
+        )
+
+    def load(self, path: str) -> None:
+        """Restore params + tokenizer vars saved by `save`."""
+        from phenaki_tpu.training.checkpoint import load_pytree
+
+        restored = load_pytree(path)
+        self.params = restored["params"]
+        self.cvivit_vars = restored["cvivit_vars"]
+
+    # ------------------------------------------------------------------ #
     # text handling (host-side)                                           #
     # ------------------------------------------------------------------ #
 

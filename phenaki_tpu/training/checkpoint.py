@@ -17,6 +17,23 @@ import jax
 import orbax.checkpoint as ocp
 
 
+def save_pytree(path: str | os.PathLike, tree: Any) -> None:
+    """One-shot pytree save (reference torch.save analog, e.g. standalone
+    model weights outside a trainer)."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(Path(path).absolute(), tree)
+    ckptr.wait_until_finished()
+
+
+def load_pytree(path: str | os.PathLike, template: Any = None) -> Any:
+    """One-shot pytree restore (reference CViViT.load analog,
+    cvivit.py:431-435)."""
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        return ckptr.restore(Path(path).absolute(), template)
+    return ckptr.restore(Path(path).absolute())
+
+
 class CheckpointManager:
     """Thin wrapper: save/restore arbitrary pytrees by integer milestone."""
 

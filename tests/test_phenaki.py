@@ -239,3 +239,31 @@ def test_texts_path_via_hash_encoder():
     assert video.shape == (1, 3, 16, 16, 3)
     loss = p(videos(1, 3), texts=["a dog"], rng=jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
+
+
+def test_phenaki_save_load_roundtrip(tmp_path):
+    """Model-level save/load (reference CViViT.load parity): params and
+    tokenizer vars survive a round trip and sampling still works."""
+    import jax
+    import numpy as np
+
+    ph = build_phenaki()
+    before = jax.device_get(ph.params)
+    ph.save(str(tmp_path / "ckpt"))
+
+    ph2 = build_phenaki()
+    ph2.load(str(tmp_path / "ckpt"))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(before),
+        jax.tree_util.tree_leaves(jax.device_get(ph2.params)),
+    ):
+        np.testing.assert_array_equal(a, b)
+
+    video = ph2.sample(
+        num_frames=3,
+        text_embeds=np.random.RandomState(0).randn(1, 4, TEXT_DIM).astype(
+            np.float32
+        ),
+        rng=jax.random.PRNGKey(0),
+    )
+    assert video.shape[1] == 3
