@@ -464,7 +464,13 @@ class Discriminator(nn.Module):
                 b, H, W, c = x.shape
                 flat = x.reshape(b, H * W, c)
                 flat = (
-                    Attention(dim=c, dtype=self.dtype, name=f"attn_{ind}")(flat) + flat
+                    Attention(
+                        dim=c,
+                        use_flash=False,  # R1 penalty needs 2nd-order grads
+                        dtype=self.dtype,
+                        name=f"attn_{ind}",
+                    )(flat)
+                    + flat
                 )
                 x = flat.reshape(b, H, W, c)
             resolution //= 2

@@ -52,6 +52,7 @@ def qk_norm_attention(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
+    allow_flash: bool = True,
 ) -> jax.Array:
     """Cosine-similarity attention core.
 
@@ -61,11 +62,13 @@ def qk_norm_attention(
 
     On TPU this dispatches to the fused Pallas flash kernel
     (ops/pallas_attention.py) — one HBM pass, no materialized (i, j) matrix.
+    Pass allow_flash=False when the result will be differentiated to second
+    order (the kernel's custom VJP is first-order reverse-mode only).
     """
     b, h, i, d = q.shape
     j = k.shape[2]
 
-    if _use_flash(q, attn_bias, dropout_rate, deterministic):
+    if allow_flash and _use_flash(q, attn_bias, dropout_rate, deterministic):
         from phenaki_tpu.ops.pallas_attention import NEG_INF as _NEG, flash_qk_attention
 
         bias = attn_bias
@@ -127,6 +130,11 @@ class Attention(nn.Module):
     norm_context: bool = True
     dropout: float = 0.0
     scale: float = 8.0
+    # route through the fused Pallas kernel on TPU. Disable for modules that
+    # need HIGHER-ORDER gradients (e.g. the discriminator under the R1
+    # gradient penalty / adaptive-weight losses): the kernel's custom_vjp
+    # supports first-order reverse-mode only.
+    use_flash: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -212,6 +220,7 @@ class Attention(nn.Module):
             dropout_rate=self.dropout,
             dropout_rng=dropout_rng,
             deterministic=deterministic,
+            allow_flash=self.use_flash,
         )
 
         out = out.transpose(0, 2, 1, 3).reshape(batch, -1, inner_dim)

@@ -36,9 +36,14 @@ class QuantizerOutput(NamedTuple):
     aux_loss: jax.Array
 
 
-def _binary_entropy(p: jax.Array) -> jax.Array:
-    # xlogy treats 0*log(0) as 0, safe at saturated probabilities in fp32
-    return -(jax.scipy.special.xlogy(p, p) + jax.scipy.special.xlogy(1.0 - p, 1.0 - p))
+def _binary_entropy(p: jax.Array, eps: float = 1e-6) -> jax.Array:
+    # clamp away from {0, 1}: the entropy VALUE is fine at saturation
+    # (xlogy-style 0*log0 = 0) but its GRADIENT is 0 * (+-inf) = NaN — with
+    # inv_temperature=100 the bit probabilities saturate exactly in fp32 and
+    # every training step NaNs (only the factorized >2^13-codebook path hits
+    # this, i.e. exactly the flagship 65536-codebook config)
+    p = jnp.clip(p, eps, 1.0 - eps)
+    return -(p * jnp.log(p) + (1.0 - p) * jnp.log(1.0 - p))
 
 
 def _entropy(probs: jax.Array, eps: float = 1e-8, axis: int = -1) -> jax.Array:

@@ -406,11 +406,11 @@ class CViViTTrainer:
                 )
             if steps % self.log_every == 0:
                 self.print(
-                    f"{steps}: vae loss: {logs['loss']:.4f} - "
-                    f"discr loss: {logs['discr_loss']:.4f}"
+                    f"{steps}: vae loss: {float(logs['loss']):.4f} - "
+                    f"discr loss: {float(logs['discr_loss']):.4f}"
                 )
         elif steps % self.log_every == 0:
-            self.print(f"{steps}: vae loss: {logs['loss']:.4f}")
+            self.print(f"{steps}: vae loss: {float(logs['loss']):.4f}")
 
         # periodic reconstructions
         if steps % self.save_results_every == 0:

@@ -90,3 +90,27 @@ def test_vq_mask_excludes_positions():
         np.asarray(st2["vq_stats"]["cluster_size"]),
         atol=1e-6,
     )
+
+
+def test_lfq_large_codebook_gradients_finite_when_saturated():
+    """Regression: with the 65536-entry codebook (factorized entropy path) and
+    saturated bit probabilities (|z| >> 1/inv_temperature), the entropy
+    gradient must stay finite — 0 * log(0) products NaN'd every flagship
+    training step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from phenaki_tpu.ops.quantize import LFQ
+
+    lfq = LFQ(dim=32, codebook_size=65536)  # 16 bits > full_entropy_max_bits
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 32) * 3, jnp.float32)
+    variables = lfq.init(jax.random.PRNGKey(0), x)
+
+    def loss(params, x):
+        out = lfq.apply({"params": params}, x)
+        return out.aux_loss + jnp.sum(out.quantized ** 2)
+
+    val, grads = jax.value_and_grad(loss, argnums=(0, 1))(variables["params"], x)
+    assert np.isfinite(float(val))
+    for g in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(g)).all(), "NaN/Inf gradient"
