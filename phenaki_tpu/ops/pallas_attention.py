@@ -75,6 +75,7 @@ def _flash_kernel(
     bias_ref,  # (1, bq, bk) or None
     kmask_ref,  # (1, bk) additive f32 or None
     out_ref,  # (1, 1, bq, d)
+    lse_ref,  # (1, 1, bq, 1) f32
     m_scr,  # (bq, 128) f32
     l_scr,  # (bq, 128) f32
     acc_scr,  # (bq, d) f32
@@ -144,25 +145,18 @@ def _flash_kernel(
 
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
-        l = l_scr[:, :1]
-        out = acc_scr[:] / jnp.maximum(l, 1e-30)
+        l = jnp.maximum(l_scr[:, :1], 1e-30)
+        out = acc_scr[:] / l
         out_ref[0, 0] = out.astype(out_ref.dtype)
+        # log-sum-exp per query row, saved for the backward kernels:
+        # softmax prob = exp(s - lse)
+        lse_ref[0, 0] = (m_scr[:, :1] + jnp.log(l)).astype(jnp.float32)
 
 
-def _flash_forward(
-    q: jax.Array,  # (b, h, i, d)
-    k: jax.Array,  # (b, h, j, d)
-    v: jax.Array,  # (b, h, j, d)
-    bias: Optional[jax.Array],  # (h, i, j)
-    kmask_add: Optional[jax.Array],  # (b, j) additive f32
-    *,
-    scale: float,
-    causal: bool,
-) -> jax.Array:
+def _pad_attention_inputs(q, k, v, bias, kmask_add):
+    """Pad all operands to block multiples; padded keys get -inf mask."""
     b, h, i, d = q.shape
     j = k.shape[2]
-    out_dtype = q.dtype
-
     block_q, block_k = _block_sizes(i, j)
     i_pad = _round_up(i, block_q)
     j_pad = _round_up(j, block_k)
@@ -183,50 +177,88 @@ def _flash_forward(
     if bias is not None:
         # stream the bias in the compute dtype: it is the largest input
         # (h, i, j) and attention adds it pre-softmax where bf16 is plenty
-        bias = bias.astype(out_dtype)
+        bias = bias.astype(q.dtype)
+    if kmask_add is not None:
+        kmask_add = kmask_add.astype(jnp.float32)[:, None, :]  # (b, 1, j_pad)
+    return q, k, v, bias, kmask_add, block_q, block_k, i_pad, j_pad
+
+
+# block spec builders shared by forward and backward (grid args: the last two
+# grid axes select the q block (qi) and k block (ki) in some order)
+def _spec_q(block_q, d, qi_axis):
+    return pl.BlockSpec(
+        (1, 1, block_q, d),
+        lambda bb, hh, x2, x3: (bb, hh, (x2, x3)[qi_axis], 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _spec_k(block_k, d, ki_axis):
+    return pl.BlockSpec(
+        (1, 1, block_k, d),
+        lambda bb, hh, x2, x3: (bb, hh, (x2, x3)[ki_axis], 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _spec_bias(block_q, block_k, qi_axis, ki_axis):
+    return pl.BlockSpec(
+        (1, block_q, block_k),
+        lambda bb, hh, x2, x3: (hh, (x2, x3)[qi_axis], (x2, x3)[ki_axis]),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _spec_kmask(block_k, ki_axis):
+    # (b, 1, j): a (1, 1, block_k) block satisfies the TPU tile rule
+    # (second-to-last block dim == full array dim)
+    return pl.BlockSpec(
+        (1, 1, block_k),
+        lambda bb, hh, x2, x3: (bb, 0, (x2, x3)[ki_axis]),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _spec_rowvec(block_q, qi_axis):
+    # per-query-row scalars (lse, delta) as (b, h, i_pad, 1)
+    return pl.BlockSpec(
+        (1, 1, block_q, 1),
+        lambda bb, hh, x2, x3: (bb, hh, (x2, x3)[qi_axis], 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _flash_forward(
+    q: jax.Array,  # (b, h, i, d)
+    k: jax.Array,  # (b, h, j, d)
+    v: jax.Array,  # (b, h, j, d)
+    bias: Optional[jax.Array],  # (h, i, j)
+    kmask_add: Optional[jax.Array],  # (b, j) additive f32
+    *,
+    scale: float,
+    causal: bool,
+    return_lse: bool = False,
+):
+    b, h, i, d = q.shape
+    j = k.shape[2]
+    out_dtype = q.dtype
+
+    q, k, v, bias, kmask_add, block_q, block_k, i_pad, j_pad = (
+        _pad_attention_inputs(q, k, v, bias, kmask_add)
+    )
 
     num_q_blocks = i_pad // block_q
     num_k_blocks = j_pad // block_k
     grid = (b, h, num_q_blocks, num_k_blocks)
 
-    in_specs = [
-        pl.BlockSpec(
-            (1, 1, block_q, d),
-            lambda bb, hh, qi, ki: (bb, hh, qi, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (1, 1, block_k, d),
-            lambda bb, hh, qi, ki: (bb, hh, ki, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (1, 1, block_k, d),
-            lambda bb, hh, qi, ki: (bb, hh, ki, 0),
-            memory_space=pltpu.VMEM,
-        ),
-    ]
+    in_specs = [_spec_q(block_q, d, 0), _spec_k(block_k, d, 1), _spec_k(block_k, d, 1)]
     operands = [q, k, v]
     if bias is not None:
-        in_specs.append(
-            pl.BlockSpec(
-                (1, block_q, block_k),
-                lambda bb, hh, qi, ki: (hh, qi, ki),
-                memory_space=pltpu.VMEM,
-            )
-        )
+        in_specs.append(_spec_bias(block_q, block_k, 0, 1))
         operands.append(bias)
     if kmask_add is not None:
-        # (b, 1, j): a (1, 1, block_k) block satisfies the TPU tile rule
-        # (second-to-last block dim == full array dim)
-        in_specs.append(
-            pl.BlockSpec(
-                (1, 1, block_k),
-                lambda bb, hh, qi, ki: (bb, 0, ki),
-                memory_space=pltpu.VMEM,
-            )
-        )
-        operands.append(kmask_add.astype(jnp.float32)[:, None, :])
+        in_specs.append(_spec_kmask(block_k, 1))
+        operands.append(kmask_add)
 
     kernel = functools.partial(
         _flash_kernel_dispatch,
@@ -246,16 +278,15 @@ def _flash_forward(
         + 2 * k.size * k.dtype.itemsize
         + (bias.size * bias.dtype.itemsize if bias is not None else 0)
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, i_pad, d), out_dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, i_pad, d), out_dtype),
+            jax.ShapeDtypeStruct((b, h, i_pad, 1), jnp.float32),
+        ),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d),
-            lambda bb, hh, qi, ki: (bb, hh, qi, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=(_spec_q(block_q, d, 0), _spec_rowvec(block_q, 0)),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -272,6 +303,8 @@ def _flash_forward(
 
     if i_pad != i:
         out = out[:, :, :i]
+    if return_lse:
+        return out, lse  # lse stays PADDED (backward kernels run padded)
     return out
 
 
@@ -288,9 +321,10 @@ def _flash_kernel_dispatch(*refs, has_bias, has_kmask, **kw):
     if has_kmask:
         kmask_ref = args[idx]
         idx += 1
-    out_ref, m_scr, l_scr, acc_scr = args[idx : idx + 4]
+    out_ref, lse_ref, m_scr, l_scr, acc_scr = args[idx : idx + 5]
     _flash_kernel(
-        q_ref, k_ref, v_ref, bias_ref, kmask_ref, out_ref, m_scr, l_scr, acc_scr, **kw
+        q_ref, k_ref, v_ref, bias_ref, kmask_ref, out_ref, lse_ref,
+        m_scr, l_scr, acc_scr, **kw
     )
 
 
@@ -313,33 +347,348 @@ def _reference_attention(q, k, v, bias, kmask_add, *, scale, causal):
     return jnp.einsum("bhij,bhjd->bhid", attn, v)
 
 
+# --------------------------------------------------------------------------
+# backward kernels: recompute p = exp(s - lse) blockwise (flash-style), then
+#   delta = rowsum(dO * O)
+#   dV    = p^T @ dO
+#   dS    = p * (dO @ V^T - delta)
+#   dQ    = scale * dS @ K      dK = scale * dS^T @ Q      dBias = sum_b dS
+# --------------------------------------------------------------------------
+
+
+def _recompute_p(
+    q_ref, k_ref, bias_ref, kmask_ref, lse_ref, *, scale, causal, q_offset,
+    qi, ki, block_q, block_k
+):
+    """(bq, bk) softmax probabilities for one (q block, k block) pair."""
+    s = jax.lax.dot_general(
+        q_ref[0, 0],
+        k_ref[0, 0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if bias_ref is not None:
+        s = s + bias_ref[0].astype(jnp.float32)
+    if kmask_ref is not None:
+        s = s + kmask_ref[0].astype(jnp.float32)
+    if causal:
+        row = (
+            jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            + qi * block_q
+            + q_offset
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + ki * block_k
+        s = jnp.where(col <= row, s, NEG_INF)
+    return jnp.exp(s - lse_ref[0, 0])  # (bq, bk); lse block is (bq, 1)
+
+
+def _bwd_dq_kernel(*refs, has_bias, has_kmask, scale, causal, q_offset,
+                   num_k_blocks, block_q, block_k):
+    args = list(refs)
+    q_ref, k_ref, v_ref = args[:3]
+    idx = 3
+    bias_ref = args[idx] if has_bias else None
+    idx += 1 if has_bias else 0
+    kmask_ref = args[idx] if has_kmask else None
+    idx += 1 if has_kmask else 0
+    do_ref, lse_ref, delta_ref, dq_ref, dq_acc = args[idx:]
+
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    p = _recompute_p(
+        q_ref, k_ref, bias_ref, kmask_ref, lse_ref, scale=scale, causal=causal,
+        q_offset=q_offset, qi=qi, ki=ki, block_q=block_q, block_k=block_k,
+    )
+    dp = jax.lax.dot_general(  # dO @ V^T  (bq, bk)
+        do_ref[0, 0], v_ref[0, 0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0, 0])  # delta block (bq, 1) broadcasts
+    dq_acc[:] += jax.lax.dot_general(  # dS @ K  (bq, d)
+        ds.astype(k_ref.dtype), k_ref[0, 0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        dq_ref[0, 0] = (dq_acc[:] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(*refs, has_bias, has_kmask, scale, causal, q_offset,
+                    num_q_blocks, block_q, block_k):
+    args = list(refs)
+    q_ref, k_ref, v_ref = args[:3]
+    idx = 3
+    bias_ref = args[idx] if has_bias else None
+    idx += 1 if has_bias else 0
+    kmask_ref = args[idx] if has_kmask else None
+    idx += 1 if has_kmask else 0
+    do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc = args[idx:]
+
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    p = _recompute_p(
+        q_ref, k_ref, bias_ref, kmask_ref, lse_ref, scale=scale, causal=causal,
+        q_offset=q_offset, qi=qi, ki=ki, block_q=block_q, block_k=block_k,
+    )
+    pt = p.astype(do_ref.dtype)
+    dv_acc[:] += jax.lax.dot_general(  # p^T @ dO  (bk, d)
+        pt, do_ref[0, 0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do_ref[0, 0], v_ref[0, 0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0, 0])
+    dk_acc[:] += jax.lax.dot_general(  # dS^T @ Q  (bk, d)
+        ds.astype(q_ref.dtype), q_ref[0, 0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0, 0] = (dk_acc[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd_dbias_kernel(*refs, has_kmask, scale, causal, q_offset, num_b,
+                      block_q, block_k):
+    args = list(refs)
+    q_ref, k_ref, v_ref, bias_ref = args[:4]
+    idx = 4
+    kmask_ref = args[idx] if has_kmask else None
+    idx += 1 if has_kmask else 0
+    do_ref, lse_ref, delta_ref, dbias_ref = args[idx:]
+
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    bb = pl.program_id(3)
+
+    @pl.when(bb == 0)
+    def _init():
+        dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+
+    p = _recompute_p(
+        q_ref, k_ref, bias_ref, kmask_ref, lse_ref, scale=scale, causal=causal,
+        q_offset=q_offset, qi=qi, ki=ki, block_q=block_q, block_k=block_k,
+    )
+    dp = jax.lax.dot_general(
+        do_ref[0, 0], v_ref[0, 0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0, 0])
+    dbias_ref[0] += ds.astype(dbias_ref.dtype)
+
+
+def _flash_backward(q, k, v, bias, kmask_add, out, lse, g, *, scale, causal):
+    """dq, dk, dv, dbias via three blockwise kernels (p recomputed, never
+    materialized in HBM)."""
+    b, h, i, d = q.shape
+    j = k.shape[2]
+    in_dtype = q.dtype
+    has_bias = bias is not None
+
+    qp, kp, vp, biasp, kmaskp, block_q, block_k, i_pad, j_pad = (
+        _pad_attention_inputs(q, k, v, bias, kmask_add)
+    )
+    do = g
+    if i_pad != i:
+        do = jnp.pad(do, ((0, 0), (0, 0), (0, i_pad - i), (0, 0)))
+    do = do.astype(in_dtype)
+
+    # delta = rowsum(dO * O) per query row (padded rows: dO = 0 -> delta = 0)
+    delta = jnp.sum(
+        do[:, :, :i].astype(jnp.float32) * out.astype(jnp.float32),
+        axis=-1,
+        keepdims=True,
+    )
+    if i_pad != i:
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, i_pad - i), (0, 0)))
+
+    num_q = i_pad // block_q
+    num_k = j_pad // block_k
+    common = dict(scale=scale, causal=causal, q_offset=j - i,
+                  block_q=block_q, block_k=block_k)
+
+    def opt_specs(qi_axis, ki_axis):
+        specs, ops = [], []
+        if biasp is not None:
+            specs.append(_spec_bias(block_q, block_k, qi_axis, ki_axis))
+            ops.append(biasp)
+        if kmaskp is not None:
+            specs.append(_spec_kmask(block_k, ki_axis))
+            ops.append(kmaskp)
+        return specs, ops
+
+    # ---- dQ: grid (b, h, qi, ki), k sequential ---- #
+    o_specs, o_ops = opt_specs(0, 1)
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, has_bias=biasp is not None,
+            has_kmask=kmaskp is not None, num_k_blocks=num_k, **common,
+        ),
+        grid=(b, h, num_q, num_k),
+        in_specs=[_spec_q(block_q, d, 0), _spec_k(block_k, d, 1),
+                  _spec_k(block_k, d, 1), *o_specs,
+                  _spec_q(block_q, d, 0), _spec_rowvec(block_q, 0),
+                  _spec_rowvec(block_q, 0)],
+        out_specs=_spec_q(block_q, d, 0),
+        out_shape=jax.ShapeDtypeStruct((b, h, i_pad, d), in_dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_INTERPRET,
+    )(qp, kp, vp, *o_ops, do, lse, delta)
+
+    # ---- dK/dV: grid (b, h, ki, qi), q sequential ---- #
+    o_specs, o_ops = opt_specs(1, 0)
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, has_bias=biasp is not None,
+            has_kmask=kmaskp is not None, num_q_blocks=num_q, **common,
+        ),
+        grid=(b, h, num_k, num_q),
+        in_specs=[_spec_q(block_q, d, 1), _spec_k(block_k, d, 0),
+                  _spec_k(block_k, d, 0), *o_specs,
+                  _spec_q(block_q, d, 1), _spec_rowvec(block_q, 1),
+                  _spec_rowvec(block_q, 1)],
+        out_specs=(_spec_k(block_k, d, 0), _spec_k(block_k, d, 0)),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, j_pad, d), in_dtype),
+            jax.ShapeDtypeStruct((b, h, j_pad, d), in_dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_INTERPRET,
+    )(qp, kp, vp, *o_ops, do, lse, delta)
+
+    dbias = None
+    if has_bias:
+        # ---- dBias: grid (h, qi, ki, b), batch sequential accumulate ---- #
+        def bspec(rank4_axis_map):
+            return rank4_axis_map
+
+        in_specs = [
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda hh, qi, ki, bb: (bb, hh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda hh, qi, ki, bb: (bb, hh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda hh, qi, ki, bb: (bb, hh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, block_k),
+                         lambda hh, qi, ki, bb: (hh, qi, ki),
+                         memory_space=pltpu.VMEM),
+        ]
+        ops = [qp, kp, vp, biasp]
+        if kmaskp is not None:
+            in_specs.append(
+                pl.BlockSpec((1, 1, block_k),
+                             lambda hh, qi, ki, bb: (bb, 0, ki),
+                             memory_space=pltpu.VMEM)
+            )
+            ops.append(kmaskp)
+        in_specs += [
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda hh, qi, ki, bb: (bb, hh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda hh, qi, ki, bb: (bb, hh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda hh, qi, ki, bb: (bb, hh, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        dbias = pl.pallas_call(
+            functools.partial(
+                _bwd_dbias_kernel, has_kmask=kmaskp is not None, num_b=b,
+                **common,
+            ),
+            grid=(h, num_q, num_k, b),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, block_q, block_k),
+                lambda hh, qi, ki, bb: (hh, qi, ki),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((h, i_pad, j_pad), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            ),
+            interpret=_INTERPRET,
+        )(*ops, do, lse, delta)
+        dbias = dbias[:, :i, :j].astype(bias.dtype)
+
+    dq = dq[:, :, :i]
+    dk = dk[:, :, :j]
+    dv = dv[:, :, :j]
+    return dq, dk, dv, dbias
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def flash_qk_attention(q, k, v, bias, kmask_add, scale, causal):
     """Fused attention: softmax(q @ k^T * scale + bias + kmask) @ v.
 
     q: (b, h, i, d); k, v: (b, h, j, d); bias: (h, i, j) or None;
     kmask_add: (b, j) additive floats (0 or -inf) or None.
+
+    First-order reverse-mode differentiable (flash-style backward kernels);
+    for higher-order paths use qk_norm_attention(..., allow_flash=False).
     """
     return _flash_forward(q, k, v, bias, kmask_add, scale=scale, causal=causal)
 
 
 def _fwd(q, k, v, bias, kmask_add, scale, causal):
-    out = _flash_forward(q, k, v, bias, kmask_add, scale=scale, causal=causal)
-    return out, (q, k, v, bias, kmask_add)
+    out, lse = _flash_forward(
+        q, k, v, bias, kmask_add, scale=scale, causal=causal, return_lse=True
+    )
+    return out, (q, k, v, bias, kmask_add, out, lse)
 
 
 def _bwd(scale, causal, residuals, g):
-    q, k, v, bias, kmask_add = residuals
-    # exact-math recompute backward: XLA fuses this well and it is bit-stable
-    # against the unfused reference path
+    q, k, v, bias, kmask_add, out, lse = residuals
+    dq, dk, dv, dbias = _flash_backward(
+        q, k, v, bias, kmask_add, out, lse, g, scale=scale, causal=causal
+    )
+    return dq, dk, dv, dbias, None
+
+
+flash_qk_attention.defvjp(_fwd, _bwd)
+
+
+def _reference_backward(q, k, v, bias, kmask_add, g, *, scale, causal):
+    """XLA-math backward oracle for tests."""
+
     def ref(q, k, v, bias):
         return _reference_attention(
             q, k, v, bias, kmask_add, scale=scale, causal=causal
         )
 
     _, vjp = jax.vjp(ref, q, k, v, bias)
-    dq, dk, dv, dbias = vjp(g)
-    return dq, dk, dv, dbias, None
-
-
-flash_qk_attention.defvjp(_fwd, _bwd)
+    return vjp(g)

@@ -47,6 +47,33 @@ def make_mesh(
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_multislice_mesh(
+    tp: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """('dcn', 'dp', 'tp') mesh for multi-slice pods: data parallelism over
+    the cross-slice DCN axis (gradient all-reduce is the only cross-slice
+    collective and tolerates DCN latency), dp+tp within each slice so tensor-
+    parallel collectives ride ICI. Falls back to a single-slice ('dcn'=1)
+    layout when slice topology is unavailable (CPU test meshes).
+
+    Batches should shard over ('dcn', 'dp') jointly — `shard_batch` treats
+    the leading axes of this mesh accordingly when given a 3-axis mesh.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    slice_ids = sorted({getattr(d, "slice_index", 0) for d in devices})
+    num_slices = len(slice_ids)
+    per_slice = len(devices) // num_slices
+    assert per_slice % tp == 0, f"per-slice devices ({per_slice}) % tp ({tp})"
+
+    by_slice = [
+        [d for d in devices if getattr(d, "slice_index", 0) == s]
+        for s in slice_ids
+    ]
+    arr = np.asarray(by_slice).reshape(num_slices, per_slice // tp, tp)
+    return Mesh(arr, ("dcn", DATA_AXIS, MODEL_AXIS))
+
+
 # --------------------------------------------------------------------------- #
 # param partitioning rules                                                    #
 # --------------------------------------------------------------------------- #
@@ -126,16 +153,18 @@ def partition_specs_for(params: Any, mesh: Mesh, tp_enabled: bool = True) -> Any
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Shard leading (batch) axis over 'dp', replicate over 'tp'.
+    """Shard leading (batch) axis over 'dp' (and 'dcn' when present),
+    replicate over 'tp'.
 
-    Falls back to replication when the batch doesn't divide the dp axis
-    (tiny eval batches); training batches should be a multiple of dp.
+    Falls back to replication when the batch doesn't divide the data axes
+    (tiny eval batches); training batches should be a multiple of them.
     """
-    dp = mesh.shape[DATA_AXIS]
+    data_axes = tuple(a for a in ("dcn", DATA_AXIS) if a in mesh.shape)
+    total = int(np.prod([mesh.shape[a] for a in data_axes]))
 
     def place(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % dp == 0:
-            spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % total == 0:
+            spec = P(data_axes, *([None] * (x.ndim - 1)))
         else:
             spec = P()
         return jax.device_put(x, NamedSharding(mesh, spec))

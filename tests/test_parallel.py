@@ -197,3 +197,34 @@ def test_tp_param_sharding_rules_scan_layout():
     assert layer["to_q"]["kernel"].ndim == 3  # (depth, in, out)
     assert tuple(layer["to_q"]["kernel"].sharding.spec) == (None, None, MODEL_AXIS)
     assert tuple(layer["to_out"]["kernel"].sharding.spec) == (None, MODEL_AXIS, None)
+
+
+def test_multislice_mesh_train_step():
+    """('dcn', 'dp', 'tp') hybrid mesh: a train step runs with the batch
+    sharded over dcn x dp (on CPU all devices report slice 0, so the mesh
+    degenerates to dcn=1 — the axis plumbing is what's under test)."""
+    from phenaki_tpu.parallel.mesh import make_multislice_mesh
+
+    mesh = make_multislice_mesh(tp=2)
+    assert mesh.shape["dcn"] >= 1
+    assert mesh.shape[MODEL_AXIS] == 2
+    assert mesh.shape["dcn"] * mesh.shape[DATA_AXIS] * 2 == 8
+
+    mg, variables = build_maskgit()
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 8), 0, 64)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (8, 4, 16))
+
+    expected = mg.apply(variables, ids, video_patch_shape=PATCH_SHAPE, context=ctx)
+
+    params = shard_params(variables["params"], mesh)
+    ids_s = shard_batch(ids, mesh)
+    ctx_s = shard_batch(ctx, mesh)
+    assert ids_s.sharding.spec[0] == ("dcn", DATA_AXIS)
+
+    @jax.jit
+    def fwd(p, ids, ctx):
+        return mg.apply({"params": p}, ids, video_patch_shape=PATCH_SHAPE, context=ctx)
+
+    with mesh:
+        got = fwd(params, ids_s, ctx_s)
+    np.testing.assert_allclose(np.asarray(expected), np.asarray(got), atol=2e-4)
