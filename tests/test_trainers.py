@@ -209,3 +209,81 @@ def test_phenaki_trainer_sampling_artifacts(tmp_path):
     gifs = list((tmp_path / "results").glob("videos.*/*.gif"))
     assert len(gifs) >= 1
     assert trainer.checkpoints.latest_step is not None
+
+
+def test_phenaki_trainer_image_mode(tmp_path):
+    """Image co-training (reference quirk Q7 fixed): train on an image batch,
+    periodically sample IMAGES and write a PNG grid."""
+    from phenaki_tpu.training.phenaki_trainer import PhenakiTrainer
+
+    class MockTextImageDataset:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, idx):
+            img = np.random.rand(16, 16, 3).astype(np.float32)
+            return img, "a photo of a dog"
+
+    trainer = PhenakiTrainer(
+        build_phenaki(),
+        dataset=MockTextImageDataset(),
+        train_on_images=True,
+        batch_size=2,
+        train_num_steps=1,
+        num_samples=1,
+        save_and_sample_every=1,  # sample at the first step
+        results_folder=str(tmp_path / "results"),
+        sample_texts=["a dog"],
+    )
+    loss = trainer.train_step()
+    assert np.isfinite(float(loss))
+    trainer.checkpoints.wait()
+    pngs = list((tmp_path / "results").glob("*.png"))
+    assert len(pngs) >= 1, "image-mode sampling must write a PNG grid"
+
+
+def test_phenaki_trainer_only_train_critic(tmp_path):
+    """only_train_critic: maskgit grads are zeroed, critic params move
+    (reference quirk Q6: its critic was never in any optimizer)."""
+    from phenaki_tpu.models.maskgit import TokenCritic
+    from phenaki_tpu.training.phenaki_trainer import PhenakiTrainer
+
+    cvivit = tiny_cvivit()
+    cvivit_vars = cvivit.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 16, 16, 3)))
+    maskgit = MaskGit(
+        dim=32, num_tokens=64, max_seq_len=64, depth=1, heads=2, dim_head=16,
+        dim_context=512,
+    )
+    critic = TokenCritic(
+        dim=32, num_tokens=64, max_seq_len=64, depth=1, heads=2, dim_head=16,
+        has_cross_attn=True, dim_context=512,
+    )
+    ph = Phenaki(
+        maskgit=maskgit, cvivit=cvivit, cvivit_vars=cvivit_vars, critic=critic,
+        steps=2, t5_name="google/t5-v1_1-small", max_text_len=8,
+    )
+    trainer = PhenakiTrainer(
+        ph,
+        dataset=MockTextVideoDataset(),
+        batch_size=2,
+        num_frames=5,
+        train_num_steps=1,
+        num_samples=1,
+        save_and_sample_every=1000,
+        results_folder=str(tmp_path / "results"),
+        sample_texts=["a cat"],
+    )
+    before = jax.device_get(trainer.state["params"])
+    trainer.train_step(only_train_critic=True)
+    after = jax.device_get(trainer.state["params"])
+
+    def max_delta(a, b):
+        return max(
+            float(np.abs(np.asarray(x) - np.asarray(y)).max())
+            for x, y in zip(
+                jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+            )
+        )
+
+    assert max_delta(before["maskgit"], after["maskgit"]) == 0.0
+    assert max_delta(before["critic"], after["critic"]) > 0.0
