@@ -204,6 +204,7 @@ class DataLoader:
         seed: int = 0,
         collate_fn: Callable = collate_tensors_and_strings,
         post_collate: Optional[Callable] = None,
+        num_workers: int = 4,
     ):
         assert len(dataset) > 0, "dataset is empty"
         self.dataset = dataset
@@ -215,6 +216,10 @@ class DataLoader:
         # runs in the prefetch thread AFTER collation — trainers use it to
         # cast pixel batches to the device compute dtype off the critical path
         self.post_collate = post_collate
+        # threads fetching dataset items WITHIN a batch (decode is IO/numpy
+        # bound and releases the GIL; the native GIF loader also threads
+        # internally per file)
+        self.num_workers = max(1, num_workers)
         self._rng = random.Random(seed)
 
     def __len__(self):
@@ -239,15 +244,28 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
+        pool = None
+        if self.num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
+        def fetch(idx_list):
+            if pool is None:
+                return [self.dataset[i] for i in idx_list]
+            return list(pool.map(self.dataset.__getitem__, idx_list))
+
         def worker():
             try:
                 for b in batches:
-                    out = self.collate_fn([self.dataset[i] for i in b])
+                    out = self.collate_fn(fetch(b))
                     if self.post_collate is not None:
                         out = self.post_collate(out)
                     q.put(out)
             finally:
                 q.put(sentinel)
+                if pool is not None:
+                    pool.shutdown(wait=False)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
