@@ -281,7 +281,14 @@ bool gif_decode(const uint8_t* data, size_t size, int& W, int& H,
     frames.push_back({canvas, delay_ms});
 
     // apply disposal for next frame
-    if (disposal == 2) {
+    int frame_disposal = disposal;
+    // GIF89a: a Graphic Control Extension applies ONLY to the block that
+    // immediately follows it — reset per-frame state (a later frame without
+    // its own GCE must not inherit this frame's transparency index)
+    transparent_idx = -1;
+    disposal = 0;
+    delay_ms = 0;
+    if (frame_disposal == 2) {
       // restore to background: clear the frame rect (to black)
       for (int y = 0; y < fh; y++) {
         int cy = top + y;
@@ -293,7 +300,7 @@ bool gif_decode(const uint8_t* data, size_t size, int& W, int& H,
           canvas[o] = canvas[o + 1] = canvas[o + 2] = 0;
         }
       }
-    } else if (disposal == 3 && !prev_canvas.empty()) {
+    } else if (frame_disposal == 3 && !prev_canvas.empty()) {
       canvas = prev_canvas;
     }
   }

@@ -456,6 +456,12 @@ class Phenaki:
                     self.self_token_critic or critic.has_cross_attn
                 )
 
+                # SelfCritic runs the MaskGit trunk: reuse the hoisted CPB
+                # bias there too (TokenCritic has no positional bias)
+                critic_kwargs = (
+                    {"attn_bias": rel_pos_bias} if self.self_token_critic else {}
+                )
+
                 def critic_fn(input_ids):  # noqa: F811
                     return critic.apply(
                         critic_vars,
@@ -465,6 +471,7 @@ class Phenaki:
                         text_mask=text_mask if critic_has_text else None,
                         cond_scale=cond_scale,
                         method=type(critic).forward_with_cond_scale,
+                        **critic_kwargs,
                     )
 
             ids = maskgit_sample_loop(

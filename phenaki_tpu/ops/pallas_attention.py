@@ -13,10 +13,15 @@ Supported surface (matches ops.attention.qk_norm_attention):
   * causal masking with queries occupying the last `i` of `j` positions
   * fp32 softmax statistics regardless of input dtype (bf16 in production)
 
-Backward: `flash_qk_attention` carries a custom VJP whose backward recomputes
-attention with plain XLA einsums (exact same math as the reference path).
-Training still benefits from the fused forward; the backward stays
-XLA-fused and numerically identical to the unfused implementation.
+Backward: `flash_qk_attention` carries a custom VJP implemented as three
+blockwise Pallas kernels (dQ; dK+dV; dBias) that recompute
+`p = exp(s - lse)` from the forward's saved per-row log-sum-exp — the (i, j)
+attention matrix never exists in HBM in either direction. The recompute is
+the same math as the one-shot softmax but a different f32 rounding path
+(tests compare against the XLA oracle at atol 1e-3). First-order
+reverse-mode only: paths needing higher-order gradients (the GAN
+discriminator under the R1 penalty) must use
+qk_norm_attention(..., allow_flash=False).
 
 Blocks are (128, 128) over (i, j) with dim_head <= 128 kept resident. Inputs
 are padded to block multiples here and the padding is masked/sliced away.

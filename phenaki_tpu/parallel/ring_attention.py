@@ -56,8 +56,7 @@ def ring_qk_norm_attention(
 
     perm = [(i, (i + 1) % sp) for i in range(sp)]
 
-    def body(step, carry):
-        m, l, acc, k_cur, v_cur = carry
+    def attend_block(step, m, l, acc, k_cur, v_cur):
         # after `step` rotations we hold the shard of (my_idx - step) mod sp
         owner = jax.lax.rem(my_idx - step + sp, sp)
         k_off = owner * nk
@@ -95,17 +94,26 @@ def ring_qk_norm_attention(
             v_cur,
             preferred_element_type=jnp.float32,
         )
+        return m_new, l, acc
 
-        # rotate K/V to the next chip (skipped compute-wise on the last step)
+    def body(step, carry):
+        m, l, acc, k_cur, v_cur = carry
+        m, l, acc = attend_block(step, m, l, acc, k_cur, v_cur)
+        # rotate K/V to the next chip
         k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
         v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
-        return m_new, l, acc, k_nxt, v_nxt
+        return m, l, acc, k_nxt, v_nxt
 
     m0 = jnp.full((b, h, nq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((b, h, nq, 1), jnp.float32)
     acc0 = jnp.zeros((b, h, nq, d), jnp.float32)
 
-    m, l, acc, _, _ = jax.lax.fori_loop(0, sp, body, (m0, l0, acc0, k, v))
+    # sp-1 rotating steps, then the final block WITHOUT the last rotation
+    # (whose result nobody reads — it would waste a full K/V ICI round)
+    m, l, acc, k_last, v_last = jax.lax.fori_loop(
+        0, sp - 1, body, (m0, l0, acc0, k, v)
+    )
+    m, l, acc = attend_block(sp - 1, m, l, acc, k_last, v_last)
     out = acc / jnp.maximum(l, 1e-30)
     return out.astype(q.dtype)
 

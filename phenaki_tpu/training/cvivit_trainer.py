@@ -480,6 +480,7 @@ class CViViTTrainer:
                     "discr_params": self.state["discr_params"],
                     "ema_params": self.state["ema"].params if self.use_ema else None,
                     "step": self.state["step"],
+                    "host_step": jnp.asarray(self._host_step, jnp.int32),
                 }
             ),
         )
@@ -497,7 +498,12 @@ class CViViTTrainer:
             )
         new_state["step"] = jnp.asarray(restored["step"], jnp.int32)
         self.state = replicate(new_state, self.mesh)
-        self._host_step = int(restored["step"])
+        # device 'step' counts micro-batches; host_step counts outer steps
+        self._host_step = int(
+            restored.get(
+                "host_step", int(restored["step"]) // self.grad_accum_every
+            )
+        )
 
     def train(self, log_fn=None):
         while self.step < self.num_train_steps:

@@ -379,9 +379,9 @@ class PhenakiTrainer:
         self._host_step += 1
         steps = self.step
         if steps % self.log_every == 0:
-            loss_val = float(jax.device_get(total_loss))
-            self.print(f"{steps}: loss: {loss_val:.4f}")
-            self.logger.log(steps, {"loss": loss_val})
+            self.print(f"{steps}: loss: {float(jax.device_get(total_loss)):.4f}")
+        # per-step record; MetricLogger only materializes when a sink is set
+        self.logger.log(steps, {"loss": total_loss})
 
         if (steps - 1) % self.save_and_sample_every == 0:
             self._sample_and_save((steps - 1) // self.save_and_sample_every)
@@ -444,7 +444,14 @@ class PhenakiTrainer:
         self.checkpoints.save(
             milestone,
             jax.device_get(
-                {"params": self.state["params"], "step": self.state["step"]}
+                {
+                    "params": self.state["params"],
+                    # device 'step' counts MICRO-batches (one per jitted call,
+                    # grad_accum_every per outer step); host_step counts outer
+                    # steps and drives every schedule — save both
+                    "step": self.state["step"],
+                    "host_step": jnp.asarray(self._host_step, jnp.int32),
+                }
             ),
         )
 
@@ -455,7 +462,12 @@ class PhenakiTrainer:
         new_state["step"] = jnp.asarray(restored["step"], jnp.int32)
         self.state = replicate(new_state, self.mesh)
         self.model.params = jax.device_get(new_state["params"])
-        self._host_step = int(restored["step"])
+        # old checkpoints lack host_step; derive outer steps from micro-steps
+        self._host_step = int(
+            restored.get(
+                "host_step", int(restored["step"]) // self.grad_accum_every
+            )
+        )
 
     def train(
         self, only_train_generator: bool = False, only_train_critic: bool = False

@@ -144,3 +144,70 @@ def test_video_dataset_uses_native_path(tmp_path):
     assert item.shape == (6, 16, 16, 3)
     assert item.dtype == np.float32
     np.testing.assert_array_equal(item[4:], 0.0)  # padded frames
+
+
+def _pack_lzw_codes(codes, code_size_start):
+    """Bit-pack LZW codes with GIF's variable width growth."""
+    out = bytearray()
+    bits = 0
+    nbits = 0
+    code_size = code_size_start
+    count_since_growth = 0
+    for c, width in codes:
+        bits |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bits & 0xFF)
+            bits >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(bits & 0xFF)
+    return bytes(out)
+
+
+def test_gce_state_resets_between_frames(tmp_path):
+    """GIF89a: a Graphic Control Extension applies only to the image that
+    immediately follows. A frame WITHOUT its own GCE must not inherit the
+    previous frame's transparency index (regression: stale GCE state left
+    later frames' pixels un-drawn)."""
+    # 2x2 screen, 4-entry palette: 0=black 1=white; frame0 = all black with
+    # GCE transparency index 1; frame1 = all white, NO GCE.
+    def lzw_all(code):
+        # min code size 2: clear=4, eoi=5; width starts at 3 bits and grows
+        # to 4 after the dictionary passes code 7 (i.e. from the 4th pixel)
+        codes = [(4, 3), (code, 3), (code, 3), (code, 3), (code, 4), (5, 4)]
+        return _pack_lzw_codes(codes, 3)
+
+    def image_block(code):
+        data = lzw_all(code)
+        return (
+            b"\x2c" + b"\x00\x00\x00\x00" + b"\x02\x00\x02\x00" + b"\x00"
+            + b"\x02" + bytes([len(data)]) + data + b"\x00"
+        )
+
+    gif = bytearray()
+    gif += b"GIF89a"
+    gif += b"\x02\x00\x02\x00"  # 2x2
+    gif += b"\x91\x00\x00"  # GCT present, 4 entries
+    gif += bytes([0, 0, 0, 255, 255, 255, 255, 0, 0, 0, 0, 255])  # palette
+    # GCE with transparency on index 1, applies to frame 0 only
+    gif += b"\x21\xf9\x04\x01\x0a\x00\x01\x00"
+    gif += image_block(0)  # frame 0: all black
+    gif += image_block(1)  # frame 1: all white (== old transparent index!)
+    gif += b"\x3b"
+
+    p = str(tmp_path / "gce.gif")
+    open(p, "wb").write(bytes(gif))
+
+    frames = native.gif_decode(p)
+    assert frames.shape[0] == 2
+    # frame 1 must be WHITE everywhere — with stale GCE state its pixels
+    # would be skipped as transparent, leaving frame 0's black
+    np.testing.assert_array_equal(frames[1], 255)
+
+    # cross-check against PIL
+    pil = Image.open(p)
+    pil.seek(1)
+    np.testing.assert_array_equal(
+        np.asarray(pil.convert("RGB")), frames[1]
+    )

@@ -287,3 +287,40 @@ def test_phenaki_trainer_only_train_critic(tmp_path):
 
     assert max_delta(before["maskgit"], after["maskgit"]) == 0.0
     assert max_delta(before["critic"], after["critic"]) > 0.0
+
+
+def test_trainer_resume_with_grad_accum(tmp_path):
+    """Regression: the device step counts MICRO-batches (grad_accum_every per
+    outer step) — resume must restore the OUTER step count or every schedule
+    shifts and training stops early."""
+    from phenaki_tpu.training.cvivit_trainer import CViViTTrainer
+
+    def build(results):
+        return CViViTTrainer(
+            tiny_cvivit(),
+            num_train_steps=10,
+            batch_size=2,
+            grad_accum_every=2,
+            dataset=[np.random.rand(16, 16, 3).astype(np.float32) for _ in range(8)],
+            train_on_images=True,
+            use_vgg_and_gan=False,
+            valid_frac=0.0,
+            save_results_every=1000,
+            save_model_every=1000,
+            results_folder=results,
+            use_ema=False,
+        )
+
+    tr = build(str(tmp_path / "a"))
+    tr.train_step()
+    tr.train_step()
+    tr.train_step()
+    assert tr.step == 3
+    tr.save(1)
+    tr.checkpoints.wait()
+
+    tr2 = build(str(tmp_path / "a"))
+    tr2.load(1)
+    assert tr2.step == 3, f"outer step must survive resume, got {tr2.step}"
+    tr2.checkpoints.close()
+    tr.checkpoints.close()
