@@ -243,6 +243,7 @@ class DataLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()  # set when the consumer abandons the iterator
 
         pool = None
         if self.num_workers > 1:
@@ -255,25 +256,44 @@ class DataLoader:
                 return [self.dataset[i] for i in idx_list]
             return list(pool.map(self.dataset.__getitem__, idx_list))
 
+        def put(item) -> bool:
+            # bounded put that aborts if the consumer went away — otherwise an
+            # abandoned iterator leaves the worker blocked on a full queue and
+            # the thread pool alive forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for b in batches:
+                    if stop.is_set():
+                        break
                     out = self.collate_fn(fetch(b))
                     if self.post_collate is not None:
                         out = self.post_collate(out)
-                    q.put(out)
+                    if not put(out):
+                        break
             finally:
-                q.put(sentinel)
+                put(sentinel)
                 if pool is not None:
                     pool.shutdown(wait=False)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # runs on generator close/GC as well as normal exhaustion
+            stop.set()
 
 
 def cycle(dl):

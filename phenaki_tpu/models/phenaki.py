@@ -229,7 +229,17 @@ class Phenaki:
             exists(text_embeds) or self.unconditional
         ), "text embeds must be given unless unconditional"
 
-        rng_mask, rng_step, rng_drop, rng_gumbel = jax.random.split(rng, 4)
+        # one distinct key per random consumer — sharing keys across branches
+        # (e.g. maskgit dropout vs critic gumbel) correlates their noise
+        (
+            rng_mask,
+            rng_step,
+            rng_mg_drop,
+            rng_mg_dropout,
+            rng_gumbel,
+            rng_cr_drop,
+            rng_cr_dropout,
+        ) = jax.random.split(rng, 7)
 
         if not exists(video_codebook_ids):
             if not exists(cvivit_vars):
@@ -281,7 +291,7 @@ class Phenaki:
             text_mask=text_mask,
             context=text_embeds,
             deterministic=not train,
-            rngs={"cond_drop": rng_drop, "dropout": rng_gumbel},
+            rngs={"cond_drop": rng_mg_drop, "dropout": rng_mg_dropout},
         )
         if only_train_critic:
             logits = jax.lax.stop_gradient(logits)
@@ -319,7 +329,7 @@ class Phenaki:
             text_mask=text_mask if critic_ctx is not None else None,
             context=critic_ctx,
             deterministic=not train,
-            rngs={"cond_drop": rng_drop, "dropout": rng_gumbel},
+            rngs={"cond_drop": rng_cr_drop, "dropout": rng_cr_dropout},
         ).astype(jnp.float32)
 
         critic_labels = (ids != pred_ids).astype(jnp.float32)
@@ -550,6 +560,17 @@ class Phenaki:
         has_text = exists(text_embeds) and not self.unconditional
         prime_num_frames = prime_frames.shape[1] if exists(prime_frames) else 0
 
+        # stable mesh identity: axis layout + device ids (NOT id(mesh) — a
+        # GC'd mesh's id can be reused and resurrect a stale compiled program
+        # pinned to dead devices)
+        mesh_key = (
+            (
+                tuple(mesh.shape.items()),
+                tuple(d.id for d in mesh.devices.flat),
+            )
+            if mesh is not None
+            else None
+        )
         key = (
             batch_size,
             num_frames,
@@ -558,7 +579,7 @@ class Phenaki:
             float(cond_scale),
             float(starting_temperature),
             float(noise_K),
-            id(mesh) if mesh is not None else None,
+            mesh_key,
         )
         if key not in self._sample_cache:
             self._sample_cache[key] = self._build_sample_fn(

@@ -663,8 +663,12 @@ def flash_qk_attention(q, k, v, bias, kmask_add, scale, causal):
     q: (b, h, i, d); k, v: (b, h, j, d); bias: (h, i, j) or None;
     kmask_add: (b, j) additive floats (0 or -inf) or None.
 
-    First-order reverse-mode differentiable (flash-style backward kernels);
-    for higher-order paths use qk_norm_attention(..., allow_flash=False).
+    First-order reverse-mode differentiable (flash-style backward kernels)
+    in q, k, v and bias. `kmask_add` is treated as NON-differentiable: the
+    custom VJP returns a zero cotangent for it (the true gradient would be
+    sum over (h, i) of dS). Every caller in this package derives the mask
+    from boolean padding data, where a zero gradient is correct — do NOT
+    route a learned float mask through this argument.
     """
     return _flash_forward(q, k, v, bias, kmask_add, scale=scale, causal=causal)
 

@@ -294,12 +294,21 @@ class CViViTTrainer:
             if mutable_vq and aux["new_vq"] is not None:
                 new_state["vq_stats"] = aux["new_vq"]["vq_stats"]
             if self.use_ema:
+                # under MultiSteps accumulation, params only change when the
+                # accumulator wraps (mini_step back to 0) — gate the EMA on
+                # that boundary so it advances once per OUTER optimizer step
+                did_opt_step = (
+                    new_opt_state.mini_step == 0
+                    if self.grad_accum_every > 1
+                    else None
+                )
                 new_state["ema"] = ema_update(
                     state["ema"],
                     new_params,
                     decay=self.ema_beta,
                     update_after_step=self.ema_update_after_step,
                     update_every=self.ema_update_every,
+                    apply=did_opt_step,
                 )
             new_state["step"] = state["step"] + 1
 
@@ -470,24 +479,54 @@ class CViViTTrainer:
                 )
         self.print(f"{steps}: saving to {self.results_folder}")
 
+    def _ckpt_tree(self):
+        """Everything needed for TRUE resume (reference
+        cvivit_trainer.py:176-196 packs model + both optimizers): params,
+        both optimizer states (incl. MultiSteps accumulators), EMA (params AND
+        step counter), the trainer rng, and both step counters."""
+        return {
+            "vae_params": self.state["vae_params"],
+            "vq_stats": self.state["vq_stats"],
+            "discr_params": self.state["discr_params"],
+            "gen_opt_state": self.state["gen_opt_state"],
+            "discr_opt_state": self.state["discr_opt_state"],
+            "ema": self.state["ema"] if self.use_ema else None,
+            "rng": self.rng,
+            "step": self.state["step"],
+            "host_step": jnp.asarray(self._host_step, jnp.int32),
+        }
+
     def save(self, milestone: int):
-        self.checkpoints.save(
-            milestone,
-            jax.device_get(
-                {
-                    "vae_params": self.state["vae_params"],
-                    "vq_stats": self.state["vq_stats"],
-                    "discr_params": self.state["discr_params"],
-                    "ema_params": self.state["ema"].params if self.use_ema else None,
-                    "step": self.state["step"],
-                    "host_step": jnp.asarray(self._host_step, jnp.int32),
-                }
-            ),
-        )
+        self.checkpoints.save(milestone, jax.device_get(self._ckpt_tree()))
         self.print(f"{self.step}: saving model to {self.results_folder}")
 
     def load(self, milestone: Optional[int] = None):
-        restored = self.checkpoints.restore(milestone)
+        raw = self.checkpoints.restore(milestone)
+        if "gen_opt_state" not in raw:
+            # pre-optimizer-state checkpoint layout (round-1): params/EMA only
+            return self._load_legacy(raw)
+        # re-restore WITH a template so optax NamedTuple states (Adam moments,
+        # MultiSteps accumulators) come back as the right container types
+        template = jax.device_get(self._ckpt_tree())
+        restored = self.checkpoints.restore(milestone, template=template)
+        new_state = dict(self.state)
+        for k in (
+            "vae_params",
+            "vq_stats",
+            "discr_params",
+            "gen_opt_state",
+            "discr_opt_state",
+        ):
+            new_state[k] = restored[k]
+        if self.use_ema and restored.get("ema") is not None:
+            new_state["ema"] = restored["ema"]
+        new_state["step"] = jnp.asarray(restored["step"], jnp.int32)
+        self.state = replicate(new_state, self.mesh)
+        self.rng = jnp.asarray(restored["rng"])
+        self._host_step = int(restored["host_step"])
+
+    def _load_legacy(self, restored):
+        """Round-1 checkpoints: no optimizer state (Adam moments re-init)."""
         new_state = dict(self.state)
         new_state["vae_params"] = restored["vae_params"]
         new_state["vq_stats"] = restored.get("vq_stats", {})

@@ -29,14 +29,24 @@ def ema_update(
     decay: float = 0.995,
     update_after_step: int = 0,
     update_every: int = 1,
+    apply: Any = None,
 ) -> EMAState:
-    """One (conditional) EMA step; jit-safe."""
-    step = state.step + 1
-    do_update = jnp.logical_and(
-        step > update_after_step, (step % update_every) == 0
-    )
+    """One (conditional) EMA step; jit-safe.
+
+    `apply` (traced bool, optional) gates the whole update: when False the
+    state (params AND step counter) passes through unchanged. Trainers use it
+    under gradient accumulation so the EMA only advances on real optimizer
+    steps (optax.MultiSteps boundaries), not every micro-batch — otherwise the
+    EMA blends identical params repeatedly and the effective time constant
+    shrinks by the accumulation factor.
+    """
+    if apply is None:
+        apply = jnp.asarray(True)
+    apply = jnp.asarray(apply, bool)
+    step = state.step + apply.astype(jnp.int32)
+    do_update = apply & (step > update_after_step) & ((step % update_every) == 0)
     # before update_after_step the EMA copies the raw params (warmup)
-    warm = step <= update_after_step
+    warm = apply & (step <= update_after_step)
 
     def blend(e, p):
         upd = jnp.where(warm, p, e * decay + p * (1.0 - decay))

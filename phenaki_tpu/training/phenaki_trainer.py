@@ -322,7 +322,10 @@ class PhenakiTrainer:
 
     def train_step(
         self, only_train_generator: bool = False, only_train_critic: bool = False
-    ) -> float:
+    ) -> jax.Array:
+        """One outer training step; returns the accumulated loss as a DEVICE
+        array (fetch with float(...)/jax.device_get when a Python number is
+        needed — keeping it on device avoids a host sync per step)."""
         assert self.dl is not None, "no dataset configured"
         self._maybe_profile(self.step)
         total_loss = 0.0
@@ -440,23 +443,45 @@ class PhenakiTrainer:
 
         self.save(milestone)
 
+    def _ckpt_tree(self):
+        """Full resume state (reference phenaki_trainer.py:323-349 packs step,
+        model, optimizer, AMP scaler — no scaler needed on TPU/bf16): params,
+        optimizer state (incl. MultiSteps accumulators), trainer rng, and both
+        step counters."""
+        return {
+            "params": self.state["params"],
+            "opt_state": self.state["opt_state"],
+            "rng": self.rng,
+            # device 'step' counts MICRO-batches (one per jitted call,
+            # grad_accum_every per outer step); host_step counts outer
+            # steps and drives every schedule — save both
+            "step": self.state["step"],
+            "host_step": jnp.asarray(self._host_step, jnp.int32),
+        }
+
     def save(self, milestone: int):
-        self.checkpoints.save(
-            milestone,
-            jax.device_get(
-                {
-                    "params": self.state["params"],
-                    # device 'step' counts MICRO-batches (one per jitted call,
-                    # grad_accum_every per outer step); host_step counts outer
-                    # steps and drives every schedule — save both
-                    "step": self.state["step"],
-                    "host_step": jnp.asarray(self._host_step, jnp.int32),
-                }
-            ),
-        )
+        self.checkpoints.save(milestone, jax.device_get(self._ckpt_tree()))
 
     def load(self, milestone: Optional[int] = None):
-        restored = self.checkpoints.restore(milestone)
+        raw = self.checkpoints.restore(milestone)
+        if "opt_state" not in raw:
+            # pre-optimizer-state checkpoint layout (round-1): params only
+            return self._load_legacy(raw)
+        # re-restore WITH a template so optax NamedTuple states (Adam moments,
+        # MultiSteps accumulators) come back as the right container types
+        template = jax.device_get(self._ckpt_tree())
+        restored = self.checkpoints.restore(milestone, template=template)
+        new_state = dict(self.state)
+        new_state["params"] = restored["params"]
+        new_state["opt_state"] = restored["opt_state"]
+        new_state["step"] = jnp.asarray(restored["step"], jnp.int32)
+        self.state = replicate(new_state, self.mesh)
+        self.model.params = jax.device_get(new_state["params"])
+        self.rng = jnp.asarray(restored["rng"])
+        self._host_step = int(restored["host_step"])
+
+    def _load_legacy(self, restored):
+        """Round-1 checkpoints: no optimizer state (Adam moments re-init)."""
         new_state = dict(self.state)
         new_state["params"] = restored["params"]
         new_state["step"] = jnp.asarray(restored["step"], jnp.int32)

@@ -176,6 +176,61 @@ def test_sharded_sampling_over_dp():
     assert not np.allclose(v[0], v[1])
 
 
+def test_sample_cache_mesh_key_is_stable():
+    """Regression (round-1 weak #6): the sample-program cache keyed on
+    id(mesh); a GC'd mesh's id could be reused by a DIFFERENT mesh and hit a
+    stale program. The key must be the mesh layout + device ids: two equal
+    meshes share one entry, a different layout gets its own."""
+    import gc
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from phenaki_tpu.models.cvivit import CViViT
+    from phenaki_tpu.models.maskgit import MaskGit
+    from phenaki_tpu.models.phenaki import Phenaki
+
+    cvivit = CViViT(
+        dim=32, codebook_size=64, image_size=16, patch_size=8,
+        temporal_patch_size=2, spatial_depth=1, temporal_depth=1,
+        dim_head=16, heads=2,
+    )
+    cvivit_vars = cvivit.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 16, 16, 3)))
+    maskgit = MaskGit(
+        dim=32, num_tokens=64, max_seq_len=16, depth=1, heads=2, dim_head=16,
+        dim_context=16,
+    )
+    ph = Phenaki(
+        maskgit=maskgit, cvivit=cvivit, cvivit_vars=cvivit_vars, steps=2,
+        text_embed_dim=16, max_text_len=4,
+    )
+    ph.init(jax.random.PRNGKey(1))
+    text_embeds = np.random.RandomState(0).randn(2, 3, 16).astype(np.float32)
+
+    mesh1 = make_mesh(jax.devices()[:2], tp=1)
+    ph.sample(
+        num_frames=3, text_embeds=text_embeds, mesh=mesh1,
+        rng=jax.random.PRNGKey(7), cond_scale=2.0,
+    )
+    assert len(ph._sample_cache) == 1
+
+    del mesh1
+    gc.collect()
+    mesh2 = make_mesh(jax.devices()[:2], tp=1)  # same layout, new object
+    ph.sample(
+        num_frames=3, text_embeds=text_embeds, mesh=mesh2,
+        rng=jax.random.PRNGKey(8), cond_scale=2.0,
+    )
+    assert len(ph._sample_cache) == 1, "equal mesh layout must reuse the entry"
+
+    mesh3 = make_mesh(jax.devices()[2:4], tp=1)  # different devices
+    ph.sample(
+        num_frames=3, text_embeds=text_embeds, mesh=mesh3,
+        rng=jax.random.PRNGKey(9), cond_scale=2.0,
+    )
+    assert len(ph._sample_cache) == 2, "different devices must get a new entry"
+
+
 def test_tp_param_sharding_rules_scan_layout():
     """scan_layers stacks per-layer params with a leading depth axis; TP rules
     must shard the same logical dims and keep the depth axis replicated."""

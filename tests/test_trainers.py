@@ -289,6 +289,153 @@ def test_phenaki_trainer_only_train_critic(tmp_path):
     assert max_delta(before["critic"], after["critic"]) > 0.0
 
 
+def _tree_equal(a, b):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_cvivit_trainer_true_resume_bitwise(tmp_path):
+    """Resume parity with the reference (cvivit_trainer.py:176-196 packs both
+    optimizers): train -> save -> reload into a FRESH trainer -> continue, and
+    the continued trajectory is bit-identical to uninterrupted training.
+    Covers Adam moments, MultiSteps accumulators, EMA state, and trainer rng."""
+    from phenaki_tpu.training.cvivit_trainer import CViViTTrainer
+
+    # all items identical -> every shuffled batch is the same tensor, so the
+    # data stream is position-independent
+    img = np.random.RandomState(0).rand(16, 16, 3).astype(np.float32)
+    dataset = [img] * 4
+
+    def build(results):
+        return CViViTTrainer(
+            tiny_cvivit(),
+            num_train_steps=10,
+            batch_size=2,
+            grad_accum_every=2,
+            dataset=dataset,
+            train_on_images=True,
+            use_vgg_and_gan=False,
+            valid_frac=0.0,
+            save_results_every=10**9,
+            save_model_every=10**9,
+            results_folder=results,
+            use_ema=True,
+            seed=123,
+        )
+
+    # uninterrupted run: 4 steps
+    tr_a = build(str(tmp_path / "a"))
+    for _ in range(4):
+        tr_a.train_step()
+    ref_params = jax.device_get(tr_a.state["vae_params"])
+    ref_ema = jax.device_get(tr_a.state["ema"].params)
+    ref_opt = jax.device_get(tr_a.state["gen_opt_state"])
+
+    # interrupted run: 2 steps -> save -> fresh trainer -> load -> 2 steps
+    tr_b = build(str(tmp_path / "b"))
+    tr_b.train_step()
+    tr_b.train_step()
+    tr_b.save(1)
+    tr_b.checkpoints.wait()
+
+    tr_c = build(str(tmp_path / "b"))
+    tr_c.load(1)
+    assert tr_c.step == 2
+    tr_c.train_step()
+    tr_c.train_step()
+
+    _tree_equal(ref_params, jax.device_get(tr_c.state["vae_params"]))
+    _tree_equal(ref_ema, jax.device_get(tr_c.state["ema"].params))
+    _tree_equal(ref_opt, jax.device_get(tr_c.state["gen_opt_state"]))
+    tr_a.checkpoints.close()
+    tr_b.checkpoints.close()
+    tr_c.checkpoints.close()
+
+
+def test_phenaki_trainer_true_resume_bitwise(tmp_path):
+    """Same bit-identical resume contract for PhenakiTrainer (reference
+    phenaki_trainer.py:323-349 packs step/model/optimizer/scaler)."""
+    from phenaki_tpu.training.phenaki_trainer import PhenakiTrainer
+
+    video = np.random.RandomState(1).rand(5, 16, 16, 3).astype(np.float32)
+
+    class FixedDataset:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, idx):
+            return video, "a video of a cat"
+
+    def build(results):
+        return PhenakiTrainer(
+            build_phenaki(),
+            dataset=FixedDataset(),
+            batch_size=2,
+            grad_accum_every=2,
+            num_frames=5,
+            train_num_steps=10,
+            num_samples=1,
+            save_and_sample_every=10**9,
+            results_folder=results,
+            sample_texts=["a cat"],
+            seed=123,
+        )
+
+    tr_a = build(str(tmp_path / "a"))
+    for _ in range(4):
+        tr_a.train_step()
+    ref_params = jax.device_get(tr_a.state["params"])
+    ref_opt = jax.device_get(tr_a.state["opt_state"])
+
+    tr_b = build(str(tmp_path / "b"))
+    tr_b.train_step()
+    tr_b.train_step()
+    tr_b.save(1)
+    tr_b.checkpoints.wait()
+
+    tr_c = build(str(tmp_path / "b"))
+    tr_c.load(1)
+    assert tr_c.step == 2
+    tr_c.train_step()
+    tr_c.train_step()
+
+    _tree_equal(ref_params, jax.device_get(tr_c.state["params"]))
+    _tree_equal(ref_opt, jax.device_get(tr_c.state["opt_state"]))
+    tr_a.checkpoints.close()
+    tr_b.checkpoints.close()
+    tr_c.checkpoints.close()
+
+
+def test_ema_advances_once_per_outer_step(tmp_path):
+    """Under grad accumulation the EMA must update on optimizer-step
+    boundaries only — NOT once per micro-batch (which would shrink its time
+    constant by the accumulation factor)."""
+    from phenaki_tpu.training.cvivit_trainer import CViViTTrainer
+
+    trainer = CViViTTrainer(
+        tiny_cvivit(),
+        num_train_steps=10,
+        batch_size=2,
+        grad_accum_every=4,
+        dataset=[np.random.rand(16, 16, 3).astype(np.float32) for _ in range(8)],
+        train_on_images=True,
+        use_vgg_and_gan=False,
+        valid_frac=0.0,
+        save_results_every=10**9,
+        save_model_every=10**9,
+        results_folder=str(tmp_path / "results"),
+        use_ema=True,
+    )
+    trainer.train_step()
+    assert int(jax.device_get(trainer.state["ema"].step)) == 1
+    trainer.train_step()
+    assert int(jax.device_get(trainer.state["ema"].step)) == 2
+    trainer.checkpoints.close()
+
+
 def test_trainer_resume_with_grad_accum(tmp_path):
     """Regression: the device step counts MICRO-batches (grad_accum_every per
     outer step) — resume must restore the OUTER step count or every schedule
