@@ -9,10 +9,14 @@ reference phenaki_pytorch.py:461,601), plus `get_encoded_dim(name)` and
 Backend selection (text encoding is host-side preprocessing — the embeddings
 are fed to the jitted model as plain arrays):
 
-  1. HuggingFace `transformers` T5EncoderModel when its weights are available
+  1. JAX-native T5 encoder (`t5_jax.T5EncoderStack`) when the HF tokenizer +
+     weights are cached locally: weights converted once from the torch state
+     dict, then encoding runs on-device inside jit (shape/parity tested
+     against a randomly initialized HF model in tests/test_t5_jax.py).
+  2. HuggingFace `transformers` T5EncoderModel when its weights are available
      locally (this environment has zero network egress, so only a warm cache
      works). Runs on CPU via torch; output is converted to numpy.
-  2. Otherwise a deterministic hash-embedding fallback (`HashTextEncoder`):
+  3. Otherwise a deterministic hash-embedding fallback (`HashTextEncoder`):
      whitespace/punctuation tokenization, tokens mapped to stable 64-bit
      hashes, embeddings drawn from a fixed-seed Gaussian keyed by the hash,
      plus sinusoidal position information. Deterministic across processes,
@@ -134,11 +138,18 @@ def get_text_encoder(name: str = DEFAULT_T5_NAME, fallback_dim: Optional[int] = 
     when a model declares an explicit text_embed_dim)."""
     key = (name, fallback_dim)
     if key not in _ENCODERS:
-        try:
-            _ENCODERS[key] = _HFT5Encoder(name)
-        except Exception:  # no local weights — deterministic offline fallback
-            dim = fallback_dim if fallback_dim is not None else get_encoded_dim(name)
-            _ENCODERS[key] = HashTextEncoder(dim)
+        try:  # JAX-native encoder: on-device, jitted (t5_jax.py)
+            from phenaki_tpu.text.t5_jax import JaxT5Encoder
+
+            _ENCODERS[key] = JaxT5Encoder(name)
+        except Exception:
+            try:  # torch/transformers CPU path
+                _ENCODERS[key] = _HFT5Encoder(name)
+            except Exception:  # no local weights — deterministic offline fallback
+                dim = (
+                    fallback_dim if fallback_dim is not None else get_encoded_dim(name)
+                )
+                _ENCODERS[key] = HashTextEncoder(dim)
     return _ENCODERS[key]
 
 
