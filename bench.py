@@ -1,13 +1,26 @@
-"""Benchmark: 17-frame 256x128 text-to-video sample, 18 decode steps.
+"""Benchmark harness.
 
-Primary metric (BASELINE.json): sampled frames/sec/chip. North star: a full
-17-frame sample in < 2 s on v5e-8, i.e. >= 8.5 frames/s/chip. The reference
-publishes no numbers (SURVEY.md §6), so `vs_baseline` is measured against
-that 8.5 frames/s/chip north-star target.
+Default mode prints ONE JSON line for the driver — the primary metric
+(BASELINE.json): 17-frame 256x128 text-to-video sample, 18 decode steps,
+frames/s/chip. North star: a full 17-frame sample in < 2 s on v5e-8, i.e.
+>= 8.5 frames/s/chip. The reference publishes no numbers (SURVEY.md §6), so
+`vs_baseline` measures against that north-star target.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Whole pipeline (decode scan + CFG + C-ViViT decode) runs as one jitted
-program in bfloat16.
+`--full` regenerates EVERY BASELINE.md row as one JSON line each (tokenize
+throughput, MaskGit train step, critic sampling, batched sampling, C-ViViT
+GAN trainer step), so the table is traceable to one command:
+
+    python bench.py --full
+
+Measurement notes:
+  * inputs are DEVICE-RESIDENT (generated on device once): through the
+    tunneled backend, host->device transfer of a 200 MB pixel batch takes
+    seconds and would swamp any step time; real deployments stream batches
+    asynchronously so steady-state step time excludes transfer;
+  * completion barrier = fetching one output SCALAR (block_until_ready
+    returns early through the tunnel; no output byte is readable until the
+    whole program finishes);
+  * median of per-iteration timings (the tunnel adds +-15% dispatch jitter).
 """
 
 from __future__ import annotations
@@ -28,7 +41,35 @@ def _stage(msg: str) -> None:
         print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
+def _fetch_scalar(x) -> None:
+    """Honest completion barrier: read one element of a device array."""
+    import jax
+
+    np.asarray(jax.device_get(x.ravel()[0]))
+
+
+def _time_median(fn, iters: int = 8):
+    """fn(i) -> device array; returns median seconds/call (after warmup)."""
+    _fetch_scalar(fn(0))  # compile + warm
+    times = []
+    for i in range(1, iters + 1):
+        t0 = time.perf_counter()
+        out = fn(i)
+        _fetch_scalar(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def _emit(metric: str, value: float, unit: str, vs_baseline=None) -> None:
+    row = {"metric": metric, "value": round(value, 3), "unit": unit}
+    if vs_baseline is not None:
+        row["vs_baseline"] = round(vs_baseline, 3)
+    print(json.dumps(row), flush=True)
+
+
 def main():
+    full = "--full" in sys.argv
+
     import jax
 
     # persistent compile cache: repeat bench runs skip the big XLA compile
@@ -38,8 +79,9 @@ def main():
     import jax.numpy as jnp
 
     from phenaki_tpu.models.cvivit import CViViT
-    from phenaki_tpu.models.maskgit import MaskGit
+    from phenaki_tpu.models.maskgit import MaskGit, TokenCritic
     from phenaki_tpu.models.phenaki import Phenaki
+    from phenaki_tpu.utils.jit_init import jit_init
 
     dtype = jnp.bfloat16
     num_frames = 17
@@ -62,7 +104,6 @@ def main():
         dtype=dtype,
     )
     rng = jax.random.PRNGKey(0)
-    from phenaki_tpu.utils.jit_init import jit_init
 
     _stage("init cvivit")
     cvivit_vars = jit_init(cvivit, rng, jnp.zeros((1, 3, 256, 128, 3), dtype))
@@ -95,50 +136,204 @@ def main():
 
     text_embeds = np.random.randn(1, 50, 768).astype(np.float32)
 
-    def run(seed):
-        return phenaki.sample(
+    # ------------------------------------------------------------------ #
+    # 1. primary: single-stream text-to-video sampling                    #
+    # ------------------------------------------------------------------ #
+    _stage("compiling sample program")
+    dt = _time_median(
+        lambda i: phenaki.sample(
             num_frames=num_frames,
             text_embeds=text_embeds,
             cond_scale=5.0,
-            rng=jax.random.PRNGKey(seed),
-        )
-
-    # warmup/compile
-    _stage("compiling sample program")
-    video = run(0)
-    # NOTE: through the tunneled TPU backend, block_until_ready returns before
-    # remote execution finishes — fetching output bytes is the only honest
-    # completion barrier. A SCALAR fetch suffices (no output byte is readable
-    # until the whole program completes) and avoids billing the tunnel's slow
-    # ~30 MB/s HTTP transfer of the 3.3 MB video against the chip: on real
-    # hardware the video either stays on-device for postprocessing or crosses
-    # PCIe in ~1 ms.
-    def fetch_barrier(v):
-        np.asarray(jax.device_get(v[0, 0, 0, 0, 0]))
-
-    fetch_barrier(video)
-    _stage("sample program compiled + first run done")
-
-    # median of per-iteration timings: the tunneled backend adds +-15%
-    # dispatch jitter that a mean over few iterations inherits
-    iters = 10
-    times = []
-    for i in range(1, iters + 1):
-        t0 = time.perf_counter()
-        video = run(i)
-        fetch_barrier(video)
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-
-    frames_per_sec = num_frames / dt
+            rng=jax.random.PRNGKey(i),
+        ),
+        iters=10,
+    )
+    _stage("sampling benched")
     target = 17 / 2.0  # north star: 17 frames in < 2 s per chip
-    result = {
-        "metric": "sampled_frames_per_sec_per_chip_17f_256x128_18steps",
-        "value": round(frames_per_sec, 3),
-        "unit": "frames/s/chip",
-        "vs_baseline": round(frames_per_sec / target, 3),
-    }
-    print(json.dumps(result))
+    _emit(
+        "sampled_frames_per_sec_per_chip_17f_256x128_18steps",
+        num_frames / dt,
+        "frames/s/chip",
+        vs_baseline=(num_frames / dt) / target,
+    )
+    if not full:
+        return
+
+    # ------------------------------------------------------------------ #
+    # 2. C-ViViT tokenize throughput (B=32, device-resident pixels)       #
+    # ------------------------------------------------------------------ #
+    _stage("tokenize bench")
+    B_tok = 32
+    videos_tok = jax.jit(
+        lambda k: jax.random.uniform(
+            k, (B_tok, num_frames, 256, 128, 3), dtype
+        )
+    )(jax.random.PRNGKey(2))
+    jax.block_until_ready(videos_tok)
+    tokenize = jax.jit(
+        lambda v: cvivit.apply(cvivit_vars, v, return_only_codebook_ids=True)
+    )
+    dt = _time_median(lambda i: tokenize(videos_tok), iters=8)
+    _emit("cvivit_tokenize_vids_per_sec_b32_17f_256x128", B_tok / dt, "vids/s/chip")
+
+    # ------------------------------------------------------------------ #
+    # 3. MaskGit train step (B=4, full fwd+bwd+Adam via the trainer's     #
+    #    jitted step)                                                     #
+    # ------------------------------------------------------------------ #
+    _stage("maskgit train step bench")
+    from phenaki_tpu.training.phenaki_trainer import PhenakiTrainer
+    import tempfile
+
+    B_tr = 4
+    with tempfile.TemporaryDirectory() as d:
+        trainer = PhenakiTrainer(
+            phenaki,
+            batch_size=B_tr,
+            num_frames=num_frames,
+            train_num_steps=1,
+            num_samples=1,
+            save_and_sample_every=10**9,
+            results_folder=d,
+            sample_texts=["bench"],
+        )
+        videos_tr = jax.jit(
+            lambda k: jax.random.uniform(
+                k, (B_tr, num_frames, 256, 128, 3), dtype
+            )
+        )(jax.random.PRNGKey(3))
+        ctx_tr = jax.jit(
+            lambda k: jax.random.normal(k, (B_tr, 128, 768), jnp.float32)
+        )(jax.random.PRNGKey(4))
+        jax.block_until_ready((videos_tr, ctx_tr))
+
+        def train_once(i):
+            trainer.state, metrics = trainer._train_step(
+                trainer.state,
+                (videos_tr, ctx_tr),
+                jax.random.PRNGKey(100 + i),
+                phenaki.cvivit_vars,
+                fields=("videos", "text_embeds"),
+            )
+            return metrics["loss"]
+
+        dt = _time_median(train_once, iters=6)
+        trainer.checkpoints.close()
+    _emit("maskgit_train_step_vids_per_sec_b4_17f_256x128", B_tr / dt, "vids/s/chip")
+
+    # ------------------------------------------------------------------ #
+    # 4. sampling with TokenCritic (extra critic CFG forward per step)    #
+    # ------------------------------------------------------------------ #
+    _stage("critic sampling bench")
+    critic = TokenCritic(
+        dim=512,
+        num_tokens=65536,
+        max_seq_len=n_tokens,
+        depth=6,
+        heads=8,
+        dim_head=64,
+        has_cross_attn=True,
+        dim_context=768,
+        scan_layers=True,
+        dtype=dtype,
+    )
+    phenaki_c = Phenaki(
+        maskgit=maskgit,
+        cvivit=cvivit,
+        cvivit_vars=cvivit_vars,
+        critic=critic,
+        steps=steps,
+        text_embed_dim=768,
+        max_text_len=128,
+    )
+    phenaki_c.init(jax.random.PRNGKey(5))
+    # share the trained maskgit weights; only the critic is new
+    phenaki_c.params["maskgit"] = phenaki.params["maskgit"]
+    jax.block_until_ready(phenaki_c.params)
+    dt = _time_median(
+        lambda i: phenaki_c.sample(
+            num_frames=num_frames,
+            text_embeds=text_embeds,
+            cond_scale=5.0,
+            rng=jax.random.PRNGKey(i),
+        ),
+        iters=6,
+    )
+    _emit(
+        "sampled_frames_per_sec_per_chip_with_token_critic",
+        num_frames / dt,
+        "frames/s/chip",
+        vs_baseline=(num_frames / dt) / target,
+    )
+
+    # ------------------------------------------------------------------ #
+    # 5. batched sampling throughput (serving mode, batch 8)              #
+    # ------------------------------------------------------------------ #
+    _stage("batched sampling bench")
+    B_s = 8
+    text_embeds_b = np.random.randn(B_s, 50, 768).astype(np.float32)
+    dt = _time_median(
+        lambda i: phenaki.sample(
+            num_frames=num_frames,
+            text_embeds=text_embeds_b,
+            cond_scale=5.0,
+            rng=jax.random.PRNGKey(i),
+        ),
+        iters=6,
+    )
+    _emit(
+        "batched_sampling_frames_per_sec_per_chip_b8",
+        B_s * num_frames / dt,
+        "frames/s/chip",
+        vs_baseline=(B_s * num_frames / dt) / target,
+    )
+    _emit("batched_sampling_videos_per_sec_b8", B_s / dt, "videos/s/chip")
+
+    # ------------------------------------------------------------------ #
+    # 6. C-ViViT GAN trainer step (gen+discr phases, VGG perceptual,      #
+    #    adaptive weight, EMA — via the trainer's jitted steps)           #
+    # ------------------------------------------------------------------ #
+    _stage("gan trainer step bench")
+    from phenaki_tpu.training.cvivit_trainer import CViViTTrainer
+
+    with tempfile.TemporaryDirectory() as d:
+        gan_trainer = CViViTTrainer(
+            cvivit,
+            num_train_steps=1,
+            batch_size=B_tr,
+            num_frames=num_frames,
+            use_vgg_and_gan=True,
+            discr_base_dim=64,
+            discr_attn_res_layers=(16,),
+            save_results_every=10**9,
+            save_model_every=10**9,
+            results_folder=d,
+            use_ema=True,
+        )
+        batch_gan = jax.jit(
+            lambda k: jax.random.uniform(
+                k, (B_tr, num_frames, 256, 128, 3), dtype
+            )
+        )(jax.random.PRNGKey(6))
+        jax.block_until_ready(batch_gan)
+
+        def gan_once(i):
+            k1, k2 = jax.random.split(jax.random.PRNGKey(200 + i))
+            gan_trainer.state, m1 = gan_trainer._gen_step(
+                gan_trainer.state, gan_trainer.vgg_vars, batch_gan, k1
+            )
+            # the trainer applies the R1 penalty every 4th step
+            # (apply_grad_penalty_every=4) — time the same mix
+            gan_trainer.state, m2 = gan_trainer._discr_step(
+                gan_trainer.state, batch_gan, k2, apply_grad_penalty=(i % 4 == 0)
+            )
+            return m2["discr_loss"]
+
+        _fetch_scalar(gan_once(4))  # compile+warm the no-penalty variant too
+        dt = _time_median(gan_once, iters=8)
+        gan_trainer.checkpoints.close()
+    _emit("cvivit_gan_train_step_vids_per_sec_b4_17f_256x128", B_tr / dt, "vids/s/chip")
+    _stage("full bench done")
 
 
 if __name__ == "__main__":

@@ -205,8 +205,11 @@ class DataLoader:
         collate_fn: Callable = collate_tensors_and_strings,
         post_collate: Optional[Callable] = None,
         num_workers: int = 4,
+        num_shards: int = 1,
+        shard_id: int = 0,
     ):
         assert len(dataset) > 0, "dataset is empty"
+        assert 0 <= shard_id < num_shards
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -220,16 +223,26 @@ class DataLoader:
         # bound and releases the GIL; the native GIF loader also threads
         # internally per file)
         self.num_workers = max(1, num_workers)
+        # multi-host data sharding: every process shuffles the SAME permutation
+        # (seeded rng) and takes a disjoint interleaved slice, so `batch_size`
+        # here is the PER-PROCESS batch (reference parity: Accelerate's
+        # split_batches, phenaki_trainer.py:198,214)
+        self.num_shards = num_shards
+        self.shard_id = shard_id
         self._rng = random.Random(seed)
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _epoch_indices(self):
         idx = list(range(len(self.dataset)))
         if self.shuffle:
             self._rng.shuffle(idx)
+        if self.num_shards > 1:
+            # drop the ragged tail so every shard sees the same batch count
+            usable = (len(idx) // self.num_shards) * self.num_shards
+            idx = idx[self.shard_id : usable : self.num_shards]
         return idx
 
     def __iter__(self):

@@ -1,8 +1,16 @@
+from phenaki_tpu.parallel.distributed import (
+    init_distributed,
+    is_main_process,
+    process_count,
+    process_index,
+)
 from phenaki_tpu.parallel.mesh import (
     make_mesh,
-    shard_batch,
-    replicate,
+    make_multislice_mesh,
     param_partition_spec,
+    place_like,
+    replicate,
+    shard_batch,
     shard_params,
 )
 from phenaki_tpu.parallel.ring_attention import (
@@ -11,10 +19,16 @@ from phenaki_tpu.parallel.ring_attention import (
 )
 
 __all__ = [
+    "init_distributed",
+    "is_main_process",
+    "process_count",
+    "process_index",
     "make_mesh",
-    "shard_batch",
-    "replicate",
+    "make_multislice_mesh",
     "param_partition_spec",
+    "place_like",
+    "replicate",
+    "shard_batch",
     "shard_params",
     "ring_qk_norm_attention",
     "sequence_sharded_attention",

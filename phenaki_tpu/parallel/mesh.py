@@ -93,6 +93,26 @@ _TP_RULES: Tuple[Tuple[str, P], ...] = (
 )
 
 
+def _spans_processes(mesh: Mesh) -> bool:
+    return jax.process_count() > 1 and any(
+        d.process_index != jax.process_index() for d in mesh.devices.flat
+    )
+
+
+def _put(value: Any, sharding) -> jax.Array:
+    """device_put that also works when the sharding spans processes: each
+    process supplies its addressable shards from the (host-identical) value
+    via make_array_from_callback. Non-mesh shardings (e.g. SingleDevice from
+    a jitted init) are by construction process-local."""
+    mesh = getattr(sharding, "mesh", None)
+    if mesh is not None and _spans_processes(mesh):
+        arr = np.asarray(value)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+    return jax.device_put(value, sharding)
+
+
 def param_partition_spec(path: Tuple, value: Any, tp_enabled: bool = True) -> P:
     """PartitionSpec for one param, from its pytree path."""
     names = []
@@ -130,7 +150,7 @@ def shard_params(params: Any, mesh: Mesh, tp_enabled: bool = True) -> Any:
             else:
                 fixed.append(axis_name)
         spec = P(*fixed) if fixed else P()
-        return jax.device_put(value, NamedSharding(mesh, spec))
+        return _put(value, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
 
@@ -156,13 +176,35 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Shard leading (batch) axis over 'dp' (and 'dcn' when present),
     replicate over 'tp'.
 
+    Single-process: `batch` is the global batch, placed with device_put.
+    Multi-process (mesh spans hosts): `batch` is each process's LOCAL slice
+    (from a process-sharded DataLoader); the global array is assembled with
+    `jax.make_array_from_process_local_data` — the SPMD equivalent of the
+    reference's Accelerate split_batches + DDP input scatter.
+
     Falls back to replication when the batch doesn't divide the data axes
     (tiny eval batches); training batches should be a multiple of them.
     """
     data_axes = tuple(a for a in ("dcn", DATA_AXIS) if a in mesh.shape)
     total = int(np.prod([mesh.shape[a] for a in data_axes]))
+    pc = jax.process_count()
+    multiprocess = pc > 1 and any(
+        d.process_index != jax.process_index() for d in mesh.devices.flat
+    )
 
     def place(x):
+        if multiprocess:
+            x = np.asarray(x)
+            global_rows = x.shape[0] * pc if x.ndim >= 1 else 0
+            if x.ndim >= 1 and global_rows % total == 0:
+                spec = P(data_axes, *([None] * (x.ndim - 1)))
+                return jax.make_array_from_process_local_data(
+                    NamedSharding(mesh, spec), x, (global_rows, *x.shape[1:])
+                )
+            # replicated: every process must pass identical data
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P()), x, x.shape
+            )
         if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % total == 0:
             spec = P(data_axes, *([None] * (x.ndim - 1)))
         else:
@@ -173,6 +215,34 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Fully replicate a pytree across the mesh."""
+    """Fully replicate a pytree across the mesh (multi-process safe)."""
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree_util.tree_map(lambda x: _put(x, sharding), tree)
+
+
+def ensure_on_mesh(tree: Any, mesh: Mesh) -> Any:
+    """Leave leaves already sharded on `mesh` untouched; replicate everything
+    else onto it. Used after `jax.jit(opt.init)(sharded_params)` — the moments
+    inherit the param shardings, but freshly created scalars (step counters)
+    can come out committed to a single device, which later conflicts with
+    mesh-placed arguments in one jitted call."""
+    repl = NamedSharding(mesh, P())
+
+    def fix(x):
+        sh = getattr(x, "sharding", None)
+        if getattr(sh, "mesh", None) is mesh or (
+            hasattr(sh, "mesh") and sh.mesh == mesh
+        ):
+            return x
+        return _put(x, repl)
+
+    return jax.tree_util.tree_map(fix, tree)
+
+
+def place_like(template: Any, values: Any) -> Any:
+    """Place each leaf of `values` with the matching `template` leaf's
+    sharding — used to restore checkpoints onto TP/DP placements without
+    re-deriving partition specs (equals replication on a dp-only mesh)."""
+    return jax.tree_util.tree_map(
+        lambda t, v: _put(jnp.asarray(v), t.sharding), template, values
+    )

@@ -48,7 +48,14 @@ from phenaki_tpu.models.cvivit_losses import (
     cvivit_generator_loss,
 )
 from phenaki_tpu.models.vgg import VGG16Features, init_vgg
-from phenaki_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from phenaki_tpu.parallel.mesh import (
+    ensure_on_mesh,
+    make_mesh,
+    place_like as _place_like,
+    replicate,
+    shard_batch,
+    shard_params,
+)
 from phenaki_tpu.training.checkpoint import CheckpointManager
 from phenaki_tpu.training.ema import EMAState, ema_init, ema_update
 from phenaki_tpu.training.optimizer import get_optimizer
@@ -164,16 +171,27 @@ class CViViTTrainer:
             discr_opt = optax.MultiSteps(discr_opt, grad_accum_every)
         self.gen_opt, self.discr_opt = gen_opt, discr_opt
 
-        state = {
-            "vae_params": vae_vars["params"],
-            "vq_stats": vae_vars.get("vq_stats", {}),
-            "discr_params": discr_vars["params"],
-            "gen_opt_state": gen_opt.init(vae_vars["params"]),
-            "discr_opt_state": discr_opt.init(discr_vars["params"]),
-            "ema": ema_init(vae_vars["params"]) if use_ema else None,
-            "step": jnp.zeros((), jnp.int32),
+        # params placed per the Megatron TP rules (replicated when tp == 1);
+        # optimizer moments and EMA inherit the shardings through jitted init
+        vae_params = shard_params(vae_vars["params"], self.mesh)
+        discr_params = shard_params(discr_vars["params"], self.mesh)
+        self.state = {
+            "vae_params": vae_params,
+            "vq_stats": replicate(vae_vars.get("vq_stats", {}), self.mesh),
+            "discr_params": discr_params,
+            "gen_opt_state": ensure_on_mesh(
+                jax.jit(gen_opt.init)(vae_params), self.mesh
+            ),
+            "discr_opt_state": ensure_on_mesh(
+                jax.jit(discr_opt.init)(discr_params), self.mesh
+            ),
+            "ema": (
+                ensure_on_mesh(jax.jit(ema_init)(vae_params), self.mesh)
+                if use_ema
+                else None
+            ),
+            "step": replicate(jnp.zeros((), jnp.int32), self.mesh),
         }
-        self.state = replicate(state, self.mesh)
         if self.vgg_vars is not None:
             self.vgg_vars = replicate(self.vgg_vars, self.mesh)
 
@@ -209,14 +227,21 @@ class CViViTTrainer:
                     f"{len(self.ds)} samples"
                 )
 
-            self.dl_iter = cycle(DataLoader(
-                self.ds, batch_size=batch_size, post_collate=self._cast_batch
-            ))
-            self.valid_dl_iter = cycle(
-                DataLoader(
-                self.valid_ds, batch_size=batch_size, post_collate=self._cast_batch
+            # multi-host: `batch_size` is the GLOBAL batch; each process loads
+            # a disjoint shard of it (reference parity: Accelerate
+            # split_batches) and shard_batch assembles the global array
+            pc, pi = jax.process_count(), jax.process_index()
+            assert batch_size % pc == 0, (
+                f"global batch ({batch_size}) must divide process count ({pc})"
             )
+            loader_kwargs = dict(
+                batch_size=batch_size // pc,
+                num_shards=pc,
+                shard_id=pi,
+                post_collate=self._cast_batch,
             )
+            self.dl_iter = cycle(DataLoader(self.ds, **loader_kwargs))
+            self.valid_dl_iter = cycle(DataLoader(self.valid_ds, **loader_kwargs))
 
         self._host_step = 0
         self.results_folder = Path(results_folder)
@@ -510,6 +535,8 @@ class CViViTTrainer:
         template = jax.device_get(self._ckpt_tree())
         restored = self.checkpoints.restore(milestone, template=template)
         new_state = dict(self.state)
+        # place restored leaves with the LIVE state's shardings (preserves the
+        # TP placement; equals replication on a dp-only mesh)
         for k in (
             "vae_params",
             "vq_stats",
@@ -517,26 +544,43 @@ class CViViTTrainer:
             "gen_opt_state",
             "discr_opt_state",
         ):
-            new_state[k] = restored[k]
+            new_state[k] = _place_like(self.state[k], restored[k])
         if self.use_ema and restored.get("ema") is not None:
-            new_state["ema"] = restored["ema"]
-        new_state["step"] = jnp.asarray(restored["step"], jnp.int32)
-        self.state = replicate(new_state, self.mesh)
+            new_state["ema"] = _place_like(self.state["ema"], restored["ema"])
+        new_state["step"] = _place_like(
+            self.state["step"], jnp.asarray(restored["step"], jnp.int32)
+        )
+        self.state = new_state
         self.rng = jnp.asarray(restored["rng"])
         self._host_step = int(restored["host_step"])
 
     def _load_legacy(self, restored):
         """Round-1 checkpoints: no optimizer state (Adam moments re-init)."""
         new_state = dict(self.state)
-        new_state["vae_params"] = restored["vae_params"]
-        new_state["vq_stats"] = restored.get("vq_stats", {})
-        new_state["discr_params"] = restored["discr_params"]
+        new_state["vae_params"] = _place_like(
+            self.state["vae_params"], restored["vae_params"]
+        )
+        if restored.get("vq_stats"):
+            new_state["vq_stats"] = _place_like(
+                self.state["vq_stats"], restored["vq_stats"]
+            )
+        new_state["discr_params"] = _place_like(
+            self.state["discr_params"], restored["discr_params"]
+        )
         if self.use_ema and restored.get("ema_params") is not None:
             new_state["ema"] = EMAState(
-                params=restored["ema_params"], step=restored["step"]
+                params=_place_like(
+                    self.state["ema"].params, restored["ema_params"]
+                ),
+                step=_place_like(
+                    self.state["ema"].step,
+                    jnp.asarray(restored["step"], jnp.int32),
+                ),
             )
-        new_state["step"] = jnp.asarray(restored["step"], jnp.int32)
-        self.state = replicate(new_state, self.mesh)
+        new_state["step"] = _place_like(
+            self.state["step"], jnp.asarray(restored["step"], jnp.int32)
+        )
+        self.state = new_state
         # device 'step' counts micro-batches; host_step counts outer steps
         self._host_step = int(
             restored.get(

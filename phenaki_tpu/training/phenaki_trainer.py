@@ -35,7 +35,15 @@ import optax
 from phenaki_tpu.data.codecs import video_tensor_to_gif
 from phenaki_tpu.data.datasets import DataLoader, ImageDataset, VideoDataset, cycle
 from phenaki_tpu.models.phenaki import Phenaki
-from phenaki_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from phenaki_tpu.parallel.mesh import (
+    MODEL_AXIS,
+    ensure_on_mesh,
+    make_mesh,
+    place_like as _place_like,
+    replicate,
+    shard_batch,
+    shard_params,
+)
 from phenaki_tpu.training.checkpoint import CheckpointManager
 from phenaki_tpu.training.optimizer import get_optimizer
 from phenaki_tpu.utils.image_grid import save_image_grid
@@ -169,10 +177,18 @@ class PhenakiTrainer:
         else:
             self.ds = None
         if exists(self.ds):
+            # multi-host: `batch_size` is the GLOBAL batch; each process loads
+            # a disjoint shard (reference parity: Accelerate split_batches)
+            pc, pi = jax.process_count(), jax.process_index()
+            assert batch_size % pc == 0, (
+                f"global batch ({batch_size}) must divide process count ({pc})"
+            )
             self.dl = cycle(
                 DataLoader(
                     self.ds,
-                    batch_size=batch_size,
+                    batch_size=batch_size // pc,
+                    num_shards=pc,
+                    shard_id=pi,
                     post_collate=self._cast_videos_in_batch,
                 )
             )
@@ -199,13 +215,19 @@ class PhenakiTrainer:
             opt = optax.MultiSteps(opt, grad_accum_every)
         self.opt = opt
 
-        params = phenaki.params
-        state = {
+        # place params per the Megatron TP rules (replicated when tp == 1,
+        # attention/FF/vocab dims sharded over 'tp' otherwise); optimizer
+        # moments inherit the param shardings through the jitted init
+        params = shard_params(phenaki.params, self.mesh)
+        self.state = {
             "params": params,
-            "opt_state": opt.init(params),
-            "step": jnp.zeros((), jnp.int32),
+            "opt_state": ensure_on_mesh(jax.jit(opt.init)(params), self.mesh),
+            "step": replicate(jnp.zeros((), jnp.int32), self.mesh),
         }
-        self.state = replicate(state, self.mesh)
+        self.tp_size = self.mesh.shape.get(MODEL_AXIS, 1)
+        # the frozen tokenizer rides along as a step argument — pin it to the
+        # mesh so a tp>1 step doesn't mix differently-placed inputs
+        self.model.cvivit_vars = replicate(self.model.cvivit_vars, self.mesh)
 
         self.results_folder = Path(results_folder)
         self.results_folder.mkdir(parents=True, exist_ok=True)
@@ -472,10 +494,16 @@ class PhenakiTrainer:
         template = jax.device_get(self._ckpt_tree())
         restored = self.checkpoints.restore(milestone, template=template)
         new_state = dict(self.state)
-        new_state["params"] = restored["params"]
-        new_state["opt_state"] = restored["opt_state"]
-        new_state["step"] = jnp.asarray(restored["step"], jnp.int32)
-        self.state = replicate(new_state, self.mesh)
+        # place restored leaves with the LIVE state's shardings (preserves the
+        # TP placement; equals replication on a dp-only mesh)
+        new_state["params"] = _place_like(self.state["params"], restored["params"])
+        new_state["opt_state"] = _place_like(
+            self.state["opt_state"], restored["opt_state"]
+        )
+        new_state["step"] = _place_like(
+            self.state["step"], jnp.asarray(restored["step"], jnp.int32)
+        )
+        self.state = new_state
         self.model.params = jax.device_get(new_state["params"])
         self.rng = jnp.asarray(restored["rng"])
         self._host_step = int(restored["host_step"])
@@ -483,9 +511,11 @@ class PhenakiTrainer:
     def _load_legacy(self, restored):
         """Round-1 checkpoints: no optimizer state (Adam moments re-init)."""
         new_state = dict(self.state)
-        new_state["params"] = restored["params"]
-        new_state["step"] = jnp.asarray(restored["step"], jnp.int32)
-        self.state = replicate(new_state, self.mesh)
+        new_state["params"] = _place_like(self.state["params"], restored["params"])
+        new_state["step"] = _place_like(
+            self.state["step"], jnp.asarray(restored["step"], jnp.int32)
+        )
+        self.state = new_state
         self.model.params = jax.device_get(new_state["params"])
         # old checkpoints lack host_step; derive outer steps from micro-steps
         self._host_step = int(

@@ -176,6 +176,94 @@ def test_sharded_sampling_over_dp():
     assert not np.allclose(v[0], v[1])
 
 
+def test_phenaki_trainer_tp_equals_dp():
+    """TP is wired INTO the trainer (round-1 weak #2): a dp=2 x tp=2 mesh
+    passed to PhenakiTrainer must shard params per the Megatron rules and
+    produce the same training trajectory as dp=4 (same data, same seed) —
+    tensor parallelism changes the compute layout, not the math."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from phenaki_tpu.models.cvivit import CViViT
+    from phenaki_tpu.models.maskgit import MaskGit
+    from phenaki_tpu.models.phenaki import Phenaki
+    from phenaki_tpu.training.phenaki_trainer import PhenakiTrainer
+
+    video = np.random.RandomState(3).rand(5, 16, 16, 3).astype(np.float32)
+
+    class FixedDataset:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, idx):
+            return video, "a video of a cat"
+
+    def build(tp, results):
+        cvivit = CViViT(
+            dim=32, codebook_size=64, image_size=16, patch_size=8,
+            temporal_patch_size=2, spatial_depth=1, temporal_depth=1,
+            dim_head=16, heads=2,
+        )
+        cvivit_vars = cvivit.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 3, 16, 16, 3))
+        )
+        maskgit = MaskGit(
+            dim=32, num_tokens=64, max_seq_len=64, depth=1, heads=2,
+            dim_head=16, dim_context=512,
+        )
+        ph = Phenaki(
+            maskgit=maskgit, cvivit=cvivit, cvivit_vars=cvivit_vars, steps=2,
+            t5_name="google/t5-v1_1-small", max_text_len=8,
+        )
+        return PhenakiTrainer(
+            ph,
+            dataset=FixedDataset(),
+            batch_size=4,
+            num_frames=5,
+            train_num_steps=10,
+            num_samples=1,
+            save_and_sample_every=10**9,
+            results_folder=results,
+            sample_texts=["a cat"],
+            mesh=make_mesh(jax.devices()[:4], tp=tp),
+            seed=7,
+        )
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        tr_dp = build(1, d + "/dp")
+        tr_tp = build(2, d + "/tp")
+
+        # tp=2 actually sharded something
+        leaves_sharded = [
+            l
+            for l in jax.tree_util.tree_leaves(tr_tp.state["params"])
+            if any(s is not None for s in getattr(l.sharding, "spec", ()))
+        ]
+        assert leaves_sharded, "tp=2 trainer must tensor-shard some params"
+
+        losses_dp = [float(jax.device_get(tr_dp.train_step())) for _ in range(2)]
+        losses_tp = [float(jax.device_get(tr_tp.train_step())) for _ in range(2)]
+        np.testing.assert_allclose(losses_dp, losses_tp, rtol=2e-4, atol=2e-5)
+
+        # params: tolerance is a few lr-quanta (lr=1e-4) — Adam's normalized
+        # first steps are sign-driven, so a zero-init param with a near-zero
+        # (reassociation-noise-level) gradient can legitimately differ by
+        # ~2*lr between reduction orders; a real TP math bug shows up at
+        # weight scale (~1e-1), three orders of magnitude larger
+        p_dp = jax.device_get(tr_dp.state["params"])
+        p_tp = jax.device_get(tr_tp.state["params"])
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_dp), jax.tree_util.tree_leaves(p_tp)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=3e-4
+            )
+        tr_dp.checkpoints.close()
+        tr_tp.checkpoints.close()
+
+
 def test_sample_cache_mesh_key_is_stable():
     """Regression (round-1 weak #6): the sample-program cache keyed on
     id(mesh); a GC'd mesh's id could be reused by a DIFFERENT mesh and hit a
