@@ -370,7 +370,23 @@ inline uint8_t quantize_px(uint8_t r, uint8_t g, uint8_t b) {
   int ri = (r * (PR - 1) + 127) / 255;
   int gi = (g * (PG - 1) + 127) / 255;
   int bi = (b * (PB - 1) + 127) / 255;
-  return (uint8_t)((ri * PG + gi) * PB + bi);
+  int cr = ri * 255 / (PR - 1), cg = gi * 255 / (PG - 1), cb = bi * 255 / (PB - 1);
+  // compare by max-channel error so the cube's worst-case bound (half a cube
+  // step per channel) is never exceeded; grays only ever tighten it
+  int cube_err = std::max({std::abs(r - cr), std::abs(g - cg), std::abs(b - cb)});
+  uint8_t best = (uint8_t)((ri * PG + gi) * PB + bi);
+  // also consider the 4 gray entries: near-neutral pixels land between the
+  // coarse cube levels, and the grays halve their error
+  const int grays[4] = {32, 96, 160, 224};
+  for (int k = 0; k < 4; k++) {
+    int gy = grays[k];
+    int err = std::max({std::abs(r - gy), std::abs(g - gy), std::abs(b - gy)});
+    if (err < cube_err) {
+      cube_err = err;
+      best = (uint8_t)(PR * PG * PB + k);
+    }
+  }
+  return best;
 }
 
 void lzw_encode(const std::vector<uint8_t>& idx, int min_code_size,

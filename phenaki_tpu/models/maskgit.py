@@ -178,6 +178,49 @@ class MaskGit(nn.Module):
         logits, null_logits = jnp.split(logits2, 2, axis=0)
         return null_logits + (logits - null_logits) * cond_scale
 
+    def embeds_with_cond_scale(
+        self,
+        x: jax.Array,
+        *,
+        cond_scale: float = 3.0,
+        text_mask: Optional[jax.Array] = None,
+        context: Optional[jax.Array] = None,
+        **kwargs,
+    ) -> jax.Array:
+        """CFG combined in EMBEDDING space: (b, n, dim) final-norm embeddings.
+
+        `to_logits` is affine, so `null + (cond - null) * s` applied to the
+        embeddings yields exactly the CFG-combined logits after projection —
+        at half the projection FLOPs of combining (2b, n, vocab) logits. The
+        fused Pallas projection+sampling kernel consumes this directly, so the
+        full-vocab logits never exist in HBM (reference runs CFG as two
+        separate full-logits forwards, phenaki_pytorch.py:149-161)."""
+        if cond_scale == 1 or self.unconditional or context is None:
+            return self(
+                x, text_mask=text_mask, context=context, return_embeds=True, **kwargs
+            )
+
+        if text_mask is None:
+            text_mask = jnp.ones(context.shape[:2], dtype=bool)
+
+        x2 = jnp.concatenate([x, x], axis=0)
+        ctx2 = jnp.concatenate([context, context], axis=0)
+        mask2 = jnp.concatenate([text_mask, jnp.zeros_like(text_mask)], axis=0)
+        vm = kwargs.pop("video_mask", None)
+        if vm is not None:
+            vm = jnp.concatenate([vm, vm], axis=0)
+
+        embeds2 = self(
+            x2,
+            text_mask=mask2,
+            context=ctx2,
+            video_mask=vm,
+            return_embeds=True,
+            **kwargs,
+        )
+        embeds, null_embeds = jnp.split(embeds2, 2, axis=0)
+        return null_embeds + (embeds - null_embeds) * cond_scale
+
 
 class TokenCritic(nn.Module):
     """Same trunk shape as MaskGit but a scalar per-token logit head

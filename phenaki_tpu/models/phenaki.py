@@ -440,13 +440,11 @@ class Phenaki:
                 mg_vars, patch_shape, method=MaskGit.rel_pos_bias
             )
 
-            # on TPU the CFG combine is fused into the sampling kernel: the
-            # forward returns STACKED cond/null logits (no split/recombine)
-            from phenaki_tpu.ops.pallas_sampling import use_fused_sampling
-
-            use_stacked = has_text and cond_scale != 1 and use_fused_sampling()
-
-            def logits_fn(input_ids):
+            # CFG is combined in EMBEDDING space (the output projection is
+            # affine, so this is exact) and the vocab projection is fused
+            # into the Pallas sampling kernel — the (b, n, 65536) logits
+            # never exist in HBM (on CPU the projection runs once in XLA)
+            def embeds_fn(input_ids):
                 return maskgit.apply(
                     mg_vars,
                     input_ids,
@@ -454,10 +452,12 @@ class Phenaki:
                     context=context,
                     text_mask=text_mask,
                     cond_scale=cond_scale,
-                    combine=not use_stacked,
                     attn_bias=rel_pos_bias,
-                    method=MaskGit.forward_with_cond_scale,
+                    method=MaskGit.embeds_with_cond_scale,
                 )
+
+            proj_params = params["maskgit"]["to_logits"]
+            vocab_proj = (proj_params["kernel"], proj_params.get("bias"))
 
             critic_fn = None
             if exists(critic):
@@ -485,7 +485,7 @@ class Phenaki:
                     )
 
             ids = maskgit_sample_loop(
-                logits_fn,
+                None,
                 rng=rng,
                 batch=local_batch,
                 num_tokens_seq=num_tokens,
@@ -496,7 +496,8 @@ class Phenaki:
                 critic_fn=critic_fn,
                 noise_K=noise_K,
                 critic_noise_anneal_schedule=self.critic_noise_anneal_schedule,
-                stacked_cfg_scale=cond_scale if use_stacked else None,
+                embeds_fn=embeds_fn,
+                vocab_proj=vocab_proj,
             )
 
             if has_prime:

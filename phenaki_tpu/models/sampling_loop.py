@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from phenaki_tpu.ops.pallas_sampling import (
     gumbel_sample_with_score,
+    project_gumbel_sample_with_score,
     use_fused_sampling,
 )
 from phenaki_tpu.ops.sampling import gumbel_sample, topk_mask
@@ -36,7 +37,7 @@ NEG_SCORE = -1e4
 
 
 def maskgit_sample_loop(
-    logits_fn: Callable[[jax.Array], jax.Array],
+    logits_fn: Optional[Callable[[jax.Array], jax.Array]],
     *,
     rng: jax.Array,
     batch: int,
@@ -49,6 +50,8 @@ def maskgit_sample_loop(
     noise_K: float = 1.0,
     critic_noise_anneal_schedule: str = "decay",
     stacked_cfg_scale: Optional[float] = None,
+    embeds_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    vocab_proj: Optional[Tuple[jax.Array, Optional[jax.Array]]] = None,
 ) -> jax.Array:
     """Run the iterative decode; returns final token ids (b, num_tokens_seq).
 
@@ -57,7 +60,18 @@ def maskgit_sample_loop(
     logits whose CFG combine is fused into the sampling kernel.
     `critic_fn(ids)`: (b, P+n) ids -> (b, P+n) critic scores.
     Both close over params/context; they are traced once inside the scan.
+
+    Fastest path: `embeds_fn(ids)` -> (b, P+n, dim) CFG-combined final-norm
+    embeddings plus `vocab_proj = (W (dim, vocab), bias | None)`. The logits
+    projection is then fused INTO the Pallas sampling kernel (the (b, n, vocab)
+    logits never hit HBM); on non-TPU backends the projection runs once in XLA
+    at (b, n) — still half the FLOPs of the stacked-CFG logits path. When
+    given, `logits_fn`/`stacked_cfg_scale` are ignored.
     """
+    assert (embeds_fn is None) or (vocab_proj is not None), (
+        "embeds_fn requires vocab_proj=(W, bias)"
+    )
+    assert (embeds_fn is not None) or (logits_fn is not None)
     n = num_tokens_seq
     has_prime = prime_ids is not None and prime_ids.shape[-1] > 0
     prime_len = prime_ids.shape[-1] if has_prime else 0
@@ -88,30 +102,55 @@ def maskgit_sample_loop(
             jnp.concatenate([prime_ids, ids], axis=-1) if has_prime else ids
         )
 
-        logits = logits_fn(input_ids)
-        if has_prime:
-            logits = logits[:, prime_len:]
-
         steps_til_x0 = steps - (step + 1)
         temperature = starting_temperature * steps_til_x0.astype(jnp.float32) / steps
 
         key, k_sample, k_noise = jax.random.split(key, 3)
         fused = use_fused_sampling()
-        if fused:
-            # one Pallas pass: hardware-PRNG gumbel argmax + softmax score,
-            # with the CFG combine fused in when logits arrive stacked
-            # (replaces up to four XLA passes over the (n, vocab) logits)
-            seed = jax.random.randint(k_sample, (), 0, 2**31 - 1)
-            pred_ids, fused_score = gumbel_sample_with_score(
-                logits, seed, temperature, cond_scale=stacked_cfg_scale
-            )
+        fused_score = None
+        logits = None
+        if embeds_fn is not None:
+            # embedding-space CFG + fused projection: the full-vocab logits
+            # are never materialized (see project_gumbel_sample_with_score)
+            h = embeds_fn(input_ids)
+            if has_prime:
+                h = h[:, prime_len:]
+            w_vocab, b_vocab = vocab_proj
+            if fused:
+                seed = jax.random.randint(k_sample, (), 0, 2**31 - 1)
+                pred_ids, fused_score = project_gumbel_sample_with_score(
+                    h, w_vocab, b_vocab, seed, temperature
+                )
+            else:
+                logits = jnp.einsum(
+                    "bnd,dv->bnv",
+                    h.astype(jnp.float32),
+                    w_vocab.astype(jnp.float32),
+                )
+                if b_vocab is not None:
+                    logits = logits + b_vocab.astype(jnp.float32)
+                pred_ids = gumbel_sample(k_sample, logits, temperature).astype(
+                    jnp.int32
+                )
         else:
-            if stacked_cfg_scale is not None:
-                cond, null = jnp.split(logits, 2, axis=0)
-                logits = null + (cond - null) * stacked_cfg_scale
-            pred_ids = gumbel_sample(k_sample, logits, temperature).astype(
-                jnp.int32
-            )
+            logits = logits_fn(input_ids)
+            if has_prime:
+                logits = logits[:, prime_len:]
+            if fused:
+                # one Pallas pass: hardware-PRNG gumbel argmax + softmax score,
+                # with the CFG combine fused in when logits arrive stacked
+                # (replaces up to four XLA passes over the (n, vocab) logits)
+                seed = jax.random.randint(k_sample, (), 0, 2**31 - 1)
+                pred_ids, fused_score = gumbel_sample_with_score(
+                    logits, seed, temperature, cond_scale=stacked_cfg_scale
+                )
+            else:
+                if stacked_cfg_scale is not None:
+                    cond, null = jnp.split(logits, 2, axis=0)
+                    logits = null + (cond - null) * stacked_cfg_scale
+                pred_ids = gumbel_sample(k_sample, logits, temperature).astype(
+                    jnp.int32
+                )
         ids = jnp.where(remask, pred_ids, ids)
 
         if critic_fn is not None:
@@ -144,7 +183,7 @@ def maskgit_sample_loop(
                 (ids, k_noise, step),
             )
         else:
-            if fused:
+            if fused_score is not None:
                 scores = fused_score
             else:
                 probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)

@@ -81,8 +81,8 @@ def _flash_kernel(
     kmask_ref,  # (1, bk) additive f32 or None
     out_ref,  # (1, 1, bq, d)
     lse_ref,  # (1, 1, bq, 1) f32
-    m_scr,  # (bq, 128) f32
-    l_scr,  # (bq, 128) f32
+    m_scr,  # (bq, 1) f32
+    l_scr,  # (bq, 1) f32
     acc_scr,  # (bq, d) f32
     *,
     scale: float,
@@ -96,21 +96,22 @@ def _flash_kernel(
 
     @pl.when(ki == 0)
     def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
+        m_scr[...] = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+        l_scr[...] = jnp.zeros((block_q, 1), jnp.float32)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
 
+    # NOTE: `scale` is pre-folded into q by _flash_forward (one multiply over
+    # (i, d) instead of one per (i, j) score element per k block)
     s = jax.lax.dot_general(
         q,
         k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    s = s * scale
 
     if bias_ref is not None:
         s = s + bias_ref[0].astype(jnp.float32)
@@ -128,14 +129,14 @@ def _flash_kernel(
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + ki * block_k
         s = jnp.where(col <= row, s, NEG_INF)
 
-    m_prev = m_scr[:, :1]  # (bq, 1)
+    m_prev = m_scr[...]  # (bq, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
 
     p = jnp.exp(s - m_new)  # (bq, bk) f32
     alpha = jnp.exp(m_prev - m_new)  # (bq, 1)
 
-    l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+    l_new = alpha * l_scr[...] + jnp.sum(p, axis=-1, keepdims=True)
 
     pv = jax.lax.dot_general(
         p.astype(v.dtype),
@@ -145,17 +146,17 @@ def _flash_kernel(
     )
     acc_scr[:] = acc_scr[:] * alpha + pv
 
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    m_scr[...] = m_new
+    l_scr[...] = l_new
 
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
-        l = jnp.maximum(l_scr[:, :1], 1e-30)
+        l = jnp.maximum(l_scr[...], 1e-30)
         out = acc_scr[:] / l
         out_ref[0, 0] = out.astype(out_ref.dtype)
         # log-sum-exp per query row, saved for the backward kernels:
         # softmax prob = exp(s - lse)
-        lse_ref[0, 0] = (m_scr[:, :1] + jnp.log(l)).astype(jnp.float32)
+        lse_ref[0, 0] = (m_scr[...] + jnp.log(l)).astype(jnp.float32)
 
 
 def _pad_attention_inputs(q, k, v, bias, kmask_add):
@@ -251,6 +252,10 @@ def _flash_forward(
     q, k, v, bias, kmask_add, block_q, block_k, i_pad, j_pad = (
         _pad_attention_inputs(q, k, v, bias, kmask_add)
     )
+    # fold the softmax scale into q once ((i, d) elements) instead of scaling
+    # every (i, j) score element inside the kernel (scale=8 is a power of two,
+    # so this is exact even in bf16); backward kernels apply scale themselves
+    q = q * jnp.asarray(scale, q.dtype)
 
     num_q_blocks = i_pad // block_q
     num_k_blocks = j_pad // block_k
@@ -293,8 +298,8 @@ def _flash_forward(
         in_specs=in_specs,
         out_specs=(_spec_q(block_q, d, 0), _spec_rowvec(block_q, 0)),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(

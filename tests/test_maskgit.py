@@ -173,3 +173,57 @@ def test_self_critic_shares_trunk(mg_and_vars):
     merged = {"params": {"maskgit": variables["params"], "to_pred": sc_vars["params"]["to_pred"]}}
     scores = sc.apply(merged, ids, video_patch_shape=PATCH_SHAPE, context=ctx)
     assert scores.shape == (2, 8)
+
+
+def test_embeds_cfg_combine_equals_logits_cfg(mg_and_vars):
+    """CFG combined in embedding space then projected must equal the
+    logits-space combine exactly (the output head is affine)."""
+    mg, variables = mg_and_vars
+    ids = jax.random.randint(jax.random.PRNGKey(5), (2, 8), 0, 65)
+    ctx = jax.random.normal(jax.random.PRNGKey(6), (2, 5, 24))
+    mask = jnp.ones((2, 5), bool)
+
+    ref = mg.apply(
+        variables,
+        ids,
+        video_patch_shape=PATCH_SHAPE,
+        context=ctx,
+        text_mask=mask,
+        cond_scale=4.0,
+        method=MaskGit.forward_with_cond_scale,
+    )
+    h = mg.apply(
+        variables,
+        ids,
+        video_patch_shape=PATCH_SHAPE,
+        context=ctx,
+        text_mask=mask,
+        cond_scale=4.0,
+        method=MaskGit.embeds_with_cond_scale,
+    )
+    proj = variables["params"]["to_logits"]
+    got = h @ proj["kernel"] + proj["bias"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_embeds_cfg_scale_one_is_plain_embeds(mg_and_vars):
+    mg, variables = mg_and_vars
+    ids = jax.random.randint(jax.random.PRNGKey(7), (2, 8), 0, 65)
+    ctx = jax.random.normal(jax.random.PRNGKey(8), (2, 5, 24))
+
+    h1 = mg.apply(
+        variables,
+        ids,
+        video_patch_shape=PATCH_SHAPE,
+        context=ctx,
+        cond_scale=1.0,
+        method=MaskGit.embeds_with_cond_scale,
+    )
+    h2 = mg.apply(
+        variables,
+        ids,
+        video_patch_shape=PATCH_SHAPE,
+        context=ctx,
+        return_embeds=True,
+    )
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-6)

@@ -211,3 +211,14 @@ def test_gce_state_resets_between_frames(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(pil.convert("RGB")), frames[1]
     )
+
+
+def test_gif_gray_palette_entries_used(tmp_path):
+    """Neutral pixels must snap to the 4 gray palette entries, not the coarse
+    color cube: a uniform (96,96,96) frame round-trips exactly (the nearest
+    cube cell would be (102,85,102) — max error 17)."""
+    frames = np.full((2, 16, 16, 3), 96, np.uint8)
+    path = str(tmp_path / "gray.gif")
+    native.gif_encode(path, frames, delay_ms=100)
+    decoded = native.gif_decode(path)
+    np.testing.assert_array_equal(decoded, frames)

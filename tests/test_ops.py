@@ -275,3 +275,33 @@ def test_transformer_scan_layers_matches_unrolled():
         jax.tree_util.tree_leaves(g_u_stacked), jax.tree_util.tree_leaves(g_s)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_ranks_matrix_matches_sort_path():
+    """The O(n^2) comparison-matrix rank must equal the stable two-sort rank,
+    including deterministic tie-breaks (ties ranked by ascending index)."""
+    from phenaki_tpu.ops import sampling as S
+
+    rng = np.random.RandomState(0)
+    # quantized values force plenty of ties
+    scores = jnp.asarray(np.round(rng.randn(4, 37) * 2) / 2, jnp.float32)
+    got = S._ranks_descending(scores)
+    order = jnp.argsort(-scores, axis=-1)
+    want = jnp.argsort(order, axis=-1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # each row is a permutation of 0..n-1
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(got), -1), np.tile(np.arange(37), (4, 1))
+    )
+
+
+def test_ranks_large_rows_fall_back_to_sort():
+    from phenaki_tpu.ops import sampling as S
+
+    n = 1 << 13
+    rng = np.random.RandomState(1)
+    scores = jnp.asarray(rng.randn(2, n), jnp.float32)
+    assert scores.size * n > S._RANK_MATRIX_MAX_ELEMS
+    got = S._ranks_descending(scores)
+    want = jnp.argsort(jnp.argsort(-scores, -1), -1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -128,3 +128,106 @@ def test_stacked_cfg_odd_rows_fallback():
     np.testing.assert_array_equal(
         np.asarray(ids_k), np.argmax(np.asarray(combined), -1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused projection + sampling (project_gumbel_sample_with_score)
+# ---------------------------------------------------------------------------
+
+
+def _proj_inputs(seed, b, n, d, v, scale=2.0):
+    rng = np.random.RandomState(seed)
+    h = jnp.asarray(rng.randn(b, n, d) * 0.2, jnp.float32)
+    w = jnp.asarray(rng.randn(d, v) * (scale / np.sqrt(d)), jnp.float32)
+    bias = jnp.asarray(rng.randn(v) * 0.1, jnp.float32)
+    return h, w, bias
+
+
+def test_project_matches_unfused_kernel():
+    """Fused h@W+bias projection must equal materializing the logits and
+    running the plain sampling kernel with the same injected noise."""
+    b, n, d, v = 2, 12, 128, 1024
+    h, w, bias = _proj_inputs(21, b, n, d, v)
+    noise = _noise(21, (b, n, v))
+
+    ids_f, score_f = ps.project_gumbel_sample_with_score(
+        h, w, bias, seed=0, temperature=0.8, noise=noise
+    )
+    logits = jnp.einsum("bnd,dv->bnv", h, w) + bias
+    ids_x, score_x = ps.gumbel_sample_with_score(
+        logits, seed=0, temperature=0.8, noise=noise
+    )
+    np.testing.assert_array_equal(np.asarray(ids_f), np.asarray(ids_x))
+    np.testing.assert_allclose(
+        np.asarray(score_f), np.asarray(score_x), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_project_multiple_vocab_blocks():
+    """v=2048 runs two vocab-block iterations: the online-softmax carry and
+    cross-block argmax must agree with the one-shot XLA reference."""
+    b, n, d, v = 1, 16, 128, 2048
+    h, w, bias = _proj_inputs(22, b, n, d, v, scale=4.0)
+    noise = _noise(22, (b, n, v))
+
+    ids_f, score_f = ps.project_gumbel_sample_with_score(
+        h, w, bias, seed=0, temperature=0.5, noise=noise
+    )
+    logits = jnp.einsum("bnd,dv->bnv", h, w) + bias
+    g = -jnp.log(-jnp.log(noise + 1e-10) + 1e-10)
+    y = logits / 0.5 + g
+    np.testing.assert_array_equal(
+        np.asarray(ids_f), np.argmax(np.asarray(y), -1)
+    )
+    probs = jax.nn.softmax(logits, axis=-1)
+    chosen = np.take_along_axis(
+        np.asarray(probs), np.asarray(ids_f)[..., None], -1
+    )[..., 0]
+    np.testing.assert_allclose(
+        np.asarray(score_f), 1.0 - chosen, atol=1e-5, rtol=1e-5
+    )
+
+
+def test_project_zero_temperature_is_argmax():
+    b, n, d, v = 2, 8, 128, 1024
+    h, w, bias = _proj_inputs(23, b, n, d, v, scale=6.0)
+    ids_f, _ = ps.project_gumbel_sample_with_score(
+        h, w, bias, seed=0, temperature=0.0, noise=_noise(23, (b, n, v))
+    )
+    logits = jnp.einsum("bnd,dv->bnv", h, w) + bias
+    np.testing.assert_array_equal(
+        np.asarray(ids_f), np.argmax(np.asarray(logits), -1)
+    )
+
+
+def test_project_no_bias_and_row_padding():
+    # rows = 1*9 = 9 pads to the row block; bias=None must behave as zeros
+    b, n, d, v = 1, 9, 128, 1024
+    h, w, _ = _proj_inputs(24, b, n, d, v)
+    noise = _noise(24, (b, n, v))
+    ids_f, score_f = ps.project_gumbel_sample_with_score(
+        h, w, None, seed=0, temperature=0.0, noise=noise
+    )
+    assert ids_f.shape == (b, n) and score_f.shape == (b, n)
+    logits = jnp.einsum("bnd,dv->bnv", h, w)
+    np.testing.assert_array_equal(
+        np.asarray(ids_f), np.argmax(np.asarray(logits), -1)
+    )
+
+
+def test_project_unaligned_dim_falls_back():
+    """d not a multiple of 128 routes through the XLA projection fallback."""
+    b, n, d, v = 1, 8, 96, 1024
+    h, w, bias = _proj_inputs(25, b, n, d, v)
+    noise = _noise(25, (b, n, v))
+    ids_f, score_f = ps.project_gumbel_sample_with_score(
+        h, w, bias, seed=0, temperature=0.7, noise=noise
+    )
+    logits = jnp.einsum("bnd,dv->bnv", h, w) + bias
+    ids_x, score_x = ps.gumbel_sample_with_score(
+        logits, seed=0, temperature=0.7, noise=noise
+    )
+    np.testing.assert_array_equal(np.asarray(ids_f), np.asarray(ids_x))
+    np.testing.assert_allclose(
+        np.asarray(score_f), np.asarray(score_x), atol=1e-5, rtol=1e-5
+    )
