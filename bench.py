@@ -20,7 +20,10 @@ Measurement notes:
   * completion barrier = fetching one output SCALAR (block_until_ready
     returns early through the tunnel; no output byte is readable until the
     whole program finishes);
-  * median of per-iteration timings (the tunnel adds +-15% dispatch jitter).
+  * throughput rows use steady-state timing (dispatch N back-to-back,
+    barrier once on the last output — in-order device queue); the latency
+    row uses a per-call barrier and so includes one ~28 ms tunnel round
+    trip per request.
 """
 
 from __future__ import annotations
@@ -208,7 +211,7 @@ def main():
     tokenize = jax.jit(
         lambda v: cvivit.apply(cvivit_vars, v, return_only_codebook_ids=True)
     )
-    dt = _time_median(lambda i: tokenize(videos_tok), iters=8)
+    dt = _time_steady(lambda i: tokenize(videos_tok), iters=8)
     _emit("cvivit_tokenize_vids_per_sec_b32_17f_256x128", B_tok / dt, "vids/s/chip")
 
     # ------------------------------------------------------------------ #
@@ -251,7 +254,7 @@ def main():
             )
             return metrics["loss"]
 
-        dt = _time_median(train_once, iters=6)
+        dt = _time_steady(train_once, iters=6)
         trainer.checkpoints.close()
     _emit("maskgit_train_step_vids_per_sec_b4_17f_256x128", B_tr / dt, "vids/s/chip")
 
@@ -284,7 +287,7 @@ def main():
     # share the trained maskgit weights; only the critic is new
     phenaki_c.params["maskgit"] = phenaki.params["maskgit"]
     jax.block_until_ready(phenaki_c.params)
-    dt = _time_median(
+    dt = _time_steady(
         lambda i: phenaki_c.sample(
             num_frames=num_frames,
             text_embeds=text_embeds,
@@ -306,7 +309,7 @@ def main():
     _stage("batched sampling bench")
     B_s = 8
     text_embeds_b = np.random.randn(B_s, 50, 768).astype(np.float32)
-    dt = _time_median(
+    dt = _time_steady(
         lambda i: phenaki.sample(
             num_frames=num_frames,
             text_embeds=text_embeds_b,
@@ -364,7 +367,7 @@ def main():
             return m2["discr_loss"]
 
         _fetch_scalar(gan_once(4))  # compile+warm the no-penalty variant too
-        dt = _time_median(gan_once, iters=8)
+        dt = _time_steady(gan_once, iters=8)
         gan_trainer.checkpoints.close()
     _emit("cvivit_gan_train_step_vids_per_sec_b4_17f_256x128", B_tr / dt, "vids/s/chip")
     _stage("full bench done")

@@ -31,6 +31,12 @@ import optax
 from phenaki_tpu.models.cvivit import CViViT
 from phenaki_tpu.models.maskgit import MaskGit, SelfCritic, TokenCritic
 from phenaki_tpu.models.sampling_loop import maskgit_sample_loop
+from phenaki_tpu.ops.pallas_ce import (
+    can_fuse_ce,
+    fused_vocab_cross_entropy,
+    use_fused_ce,
+)
+from phenaki_tpu.ops.pallas_sampling import project_gumbel_sample_with_score
 from phenaki_tpu.ops.sampling import get_mask_subset_with_prob, gumbel_sample
 from phenaki_tpu.text.t5 import DEFAULT_T5_NAME, get_encoded_dim, t5_encode_text
 from phenaki_tpu.utils.jit_init import jit_init
@@ -283,9 +289,7 @@ class Phenaki:
         masked_input = masked_input.reshape(b, *patch_shape)
 
         mg_vars = {"params": params["maskgit"]}
-        logits = self.maskgit.apply(
-            mg_vars,
-            masked_input,
+        mg_kwargs = dict(
             video_mask=video_mask,
             cond_drop_prob=drop_prob if train else 0.0,
             text_mask=text_mask,
@@ -293,11 +297,35 @@ class Phenaki:
             deterministic=not train,
             rngs={"cond_drop": rng_mg_drop, "dropout": rng_mg_dropout},
         )
-        if only_train_critic:
-            logits = jax.lax.stop_gradient(logits)
 
-        logits32 = logits.astype(jnp.float32)
-        ce = optax.softmax_cross_entropy_with_integer_labels(logits32, ids)
+        # On TPU the 65536-way CE is fused with the vocab projection
+        # (ops/pallas_ce.py): the forward returns EMBEDDINGS and the
+        # (b, n, vocab) logits never exist in HBM — at the flagship train
+        # shape that removes a ~2.4 GB fp32 logits+dlogits live range.
+        proj = params["maskgit"]["to_logits"]
+        w_vocab, b_vocab = proj["kernel"], proj.get("bias")
+        fuse_ce = use_fused_ce() and can_fuse_ce(
+            w_vocab.shape[0], w_vocab.shape[1]
+        )
+
+        logits32 = None
+        if fuse_ce:
+            embeds = self.maskgit.apply(
+                mg_vars, masked_input, return_embeds=True, **mg_kwargs
+            )
+            if only_train_critic:
+                embeds = jax.lax.stop_gradient(embeds)
+                w_vocab = jax.lax.stop_gradient(w_vocab)
+                if b_vocab is not None:
+                    b_vocab = jax.lax.stop_gradient(b_vocab)
+            ce = fused_vocab_cross_entropy(embeds, w_vocab, b_vocab, ids)
+        else:
+            logits = self.maskgit.apply(mg_vars, masked_input, **mg_kwargs)
+            if only_train_critic:
+                logits = jax.lax.stop_gradient(logits)
+            logits32 = logits.astype(jnp.float32)
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits32, ids)
+
         w = mask_token_mask.astype(jnp.float32)
         gen_loss = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
 
@@ -308,9 +336,21 @@ class Phenaki:
             return gen_loss, metrics
 
         # critic: did the generator fool you, per token? (reference :654-687)
-        pred_ids = gumbel_sample(
-            rng_gumbel, logits32, self.critic_train_sample_temperature
-        ).astype(jnp.int32)
+        if fuse_ce:
+            # same fused-projection sampler as decode: gumbel-max over the
+            # vocab without materializing logits (hardware-PRNG noise stream)
+            seed = jax.random.randint(rng_gumbel, (), 0, 2**31 - 1)
+            pred_ids, _ = project_gumbel_sample_with_score(
+                jax.lax.stop_gradient(embeds),
+                jax.lax.stop_gradient(w_vocab),
+                jax.lax.stop_gradient(b_vocab) if b_vocab is not None else None,
+                seed,
+                jnp.float32(self.critic_train_sample_temperature),
+            )
+        else:
+            pred_ids = gumbel_sample(
+                rng_gumbel, logits32, self.critic_train_sample_temperature
+            ).astype(jnp.int32)
         pred_ids = jax.lax.stop_gradient(pred_ids)
         critic_input = jnp.where(mask_token_mask, pred_ids, ids)
         critic_input = critic_input.reshape(b, *patch_shape)

@@ -1,0 +1,367 @@
+"""Fused (chunked-vocab) softmax cross-entropy Pallas TPU kernels.
+
+MaskGit training (reference phenaki_pytorch.py:645-649) takes a softmax CE
+over a 65,536-way vocab at every token. Composed from XLA ops that
+materializes the (b, n, V) logits in fp32 — ~1.2 GB at the flagship train
+shape (4, 1152, 65536) — and the same again for dlogits on the way back:
+several GB of HBM traffic and a large activation-memory spike that caps the
+per-chip batch.
+
+These kernels compute the loss directly from the transformer output
+embeddings h and the output-projection weights (W, bias), streaming vocab
+blocks of W through VMEM:
+
+  forward:  per row block, loop vocab blocks j:
+              logits_j = h @ W_j + bias_j            (MXU, f32 accumulate)
+              online max / sum-exp (flash-softmax style)
+              label_logit += logits_j[label]  (exactly one block hits)
+            loss = (m + log(sumexp)) - label_logit ; residual = lse
+
+  backward (two kernels, flash-attention style — each recomputes
+            p_ij = exp(h_i @ W_j + bias_j - lse_i) blockwise and forms
+            dlog_ij = (p_ij - onehot_ij) * g_i):
+    dH kernel, grid (rows, vocab) vocab-minor:
+              dh_i += dlog_ij @ W_j^T   (VMEM scratch, written at last j)
+    dW kernel, grid (vocab, rows) rows-minor:
+              dW_j += h_i^T @ dlog_ij ; dbias_j += sum_rows dlog_ij
+              (VMEM scratch, written at last i)
+
+The (rows, V) logits/dlogits never exist in HBM in either direction. The
+extra logits recompute costs ~1/3 more matmul FLOPs than the XLA path, but
+HBM traffic drops from ~4 GB to ~1.3 GB per flagship step and the ~2.4 GB
+fp32 logits+dlogits live range disappears entirely (it was the train-step
+activation-memory peak, capping per-chip batch size).
+
+Differentiable in h, w, bias; labels are integer (no gradient). The custom
+VJP is first-order reverse-mode.
+
+Like the other Pallas kernels, CPU tests run with _INTERPRET = True.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False  # flipped by tests on CPU
+
+_MAX_ROWS_FWD = 1024
+_ROW_BLOCK_BWD = 512
+
+
+def can_fuse_ce(d: int, v: int) -> bool:
+    """Same shape gate as the fused sampler: clean lane tiling + divisible vocab."""
+    return d % 128 == 0 and (v % 1024 == 0 or v % 512 == 0) and v >= 512
+
+
+def _row_block(rows: int, cap: int) -> int:
+    best = (None, None)
+    for r in (1024, 896, 768, 640, 576, 512, 448, 384, 320, 256, 192, 128, 64, 32, 16, 8):
+        if r > cap:
+            continue
+        total = -(-rows // r) * r
+        if best[0] is None or total < best[0]:
+            best = (total, r)
+    return best[1]
+
+
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
+
+
+def _fwd_kernel(h_ref, w_ref, bias_ref, lab_ref, loss_ref, lse_ref,
+                m_scr, se_scr, lab_scr):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr[...], -jnp.inf)
+        se_scr[...] = jnp.zeros_like(se_scr[...])
+        lab_scr[...] = jnp.zeros_like(lab_scr[...])
+
+    logits = jnp.dot(
+        h_ref[...], w_ref[...], preferred_element_type=jnp.float32
+    ) + bias_ref[...].astype(jnp.float32)
+    rows, vb = logits.shape
+
+    m_blk = jnp.max(logits, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_scr[...], m_blk)
+    se_scr[...] = se_scr[...] * jnp.exp(m_scr[...] - m_new) + jnp.sum(
+        jnp.exp(logits - m_new), axis=-1, keepdims=True
+    )
+    m_scr[...] = m_new
+
+    # label gather: exactly one vocab block contains each row's label
+    local = lab_ref[...] - j * vb  # (rows, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, vb), 1)
+    lab_scr[...] += jnp.sum(
+        jnp.where(col == local, logits, 0.0), axis=-1, keepdims=True
+    )
+
+    @pl.when(j == nj - 1)
+    def _():
+        lse = m_scr[...] + jnp.log(se_scr[...])
+        lse_ref[...] = lse
+        loss_ref[...] = lse - lab_scr[...]
+
+
+def _ce_forward(h2d, w, bias2d, labels2d, *, r_blk, vb):
+    total, d = h2d.shape
+    v = w.shape[1]
+    grid = (total // r_blk, v // vb)
+    loss, lse = pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((r_blk, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, vb), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vb), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((r_blk, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((total, 1), jnp.float32),
+            jax.ShapeDtypeStruct((total, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((r_blk, 1), jnp.float32),
+            pltpu.VMEM((r_blk, 1), jnp.float32),
+            pltpu.VMEM((r_blk, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * total * d * v,
+            bytes_accessed=total * d * h2d.dtype.itemsize
+            + (total // r_blk) * d * v * w.dtype.itemsize,
+            transcendentals=total * v,
+        ),
+        interpret=_INTERPRET,
+    )(h2d, w, bias2d, labels2d)
+    return loss, lse
+
+
+# --------------------------------------------------------------------------
+# backward
+# --------------------------------------------------------------------------
+
+
+def _dlog_block(h_ref, w_ref, bias_ref, lab_ref, lse_ref, g_ref, vblock_idx):
+    """Recompute dlogits = (softmax - onehot) * g for one (rows, vb) block."""
+    h = h_ref[...]
+    w = w_ref[...]
+    logits = jnp.dot(h, w, preferred_element_type=jnp.float32) + bias_ref[
+        ...
+    ].astype(jnp.float32)
+    rows, vb = logits.shape
+    p = jnp.exp(logits - lse_ref[...])
+    local = lab_ref[...] - vblock_idx * vb
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, vb), 1)
+    return (p - jnp.where(col == local, 1.0, 0.0)) * g_ref[...]
+
+
+def _bwd_dh_kernel(h_ref, w_ref, bias_ref, lab_ref, lse_ref, g_ref,
+                   dh_ref, dh_scr):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        dh_scr[...] = jnp.zeros_like(dh_scr[...])
+
+    dlog = _dlog_block(h_ref, w_ref, bias_ref, lab_ref, lse_ref, g_ref, j)
+    dh_scr[...] += jax.lax.dot_general(
+        dlog.astype(w_ref.dtype), w_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),  # dlog @ w^T
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == nj - 1)
+    def _():
+        dh_ref[...] = dh_scr[...]
+
+
+def _bwd_dw_kernel(h_ref, w_ref, bias_ref, lab_ref, lse_ref, g_ref,
+                   dw_ref, db_ref, dw_scr, db_scr):
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _():
+        dw_scr[...] = jnp.zeros_like(dw_scr[...])
+        db_scr[...] = jnp.zeros_like(db_scr[...])
+
+    dlog = _dlog_block(h_ref, w_ref, bias_ref, lab_ref, lse_ref, g_ref, j)
+    dw_scr[...] += jax.lax.dot_general(
+        h_ref[...], dlog.astype(h_ref.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),  # h^T @ dlog
+        preferred_element_type=jnp.float32,
+    )
+    db_scr[...] += jnp.sum(dlog, axis=0, keepdims=True)
+
+    @pl.when(i == ni - 1)
+    def _():
+        dw_ref[...] = dw_scr[...]
+        db_ref[...] = db_scr[...]
+
+
+def _ce_backward(h2d, w, bias2d, labels2d, lse, g2d, *, r_blk, vb):
+    total, d = h2d.shape
+    v = w.shape[1]
+
+    def specs(row_axis, vocab_axis):
+        """row_axis/vocab_axis pick which grid arg indexes rows/vocab."""
+
+        def rsel(a, b_):
+            return (a, b_)[row_axis]
+
+        def vsel(a, b_):
+            return (a, b_)[vocab_axis]
+
+        return [
+            pl.BlockSpec((r_blk, d), lambda a, b_: (rsel(a, b_), 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, vb), lambda a, b_: (0, vsel(a, b_)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vb), lambda a, b_: (0, vsel(a, b_)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, 1), lambda a, b_: (rsel(a, b_), 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, 1), lambda a, b_: (rsel(a, b_), 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, 1), lambda a, b_: (rsel(a, b_), 0), memory_space=pltpu.VMEM),
+        ]
+
+    operands = (h2d, w, bias2d, labels2d, lse, g2d)
+    flops_dh = 4 * total * d * v
+    dh = pl.pallas_call(
+        _bwd_dh_kernel,
+        grid=(total // r_blk, v // vb),  # rows outer, vocab minor
+        in_specs=specs(0, 1),
+        out_specs=pl.BlockSpec(
+            (r_blk, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((total, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((r_blk, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_dh,
+            bytes_accessed=(total // r_blk) * d * v * w.dtype.itemsize
+            + total * d * 6,
+            transcendentals=total * v,
+        ),
+        interpret=_INTERPRET,
+    )(*operands)
+
+    dw, db = pl.pallas_call(
+        _bwd_dw_kernel,
+        grid=(v // vb, total // r_blk),  # vocab outer, rows minor
+        in_specs=specs(1, 0),
+        out_specs=(
+            pl.BlockSpec((d, vb), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vb), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((d, v), jnp.float32),
+            jax.ShapeDtypeStruct((1, v), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((d, vb), jnp.float32),
+            pltpu.VMEM((1, vb), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_dh,
+            bytes_accessed=(v // vb) * total * d * h2d.dtype.itemsize
+            + d * v * (w.dtype.itemsize + 4),
+            transcendentals=total * v,
+        ),
+        interpret=_INTERPRET,
+    )(*operands)
+    return dh, dw, db
+
+
+# --------------------------------------------------------------------------
+# public op with custom VJP
+# --------------------------------------------------------------------------
+
+
+def _prep(h, w, bias, labels):
+    b, n, d = h.shape
+    v = w.shape[1]
+    rows = b * n
+    vb = 1024 if v % 1024 == 0 else 512
+    r_blk = _row_block(rows, _MAX_ROWS_FWD)
+    total = -(-rows // r_blk) * r_blk
+    h2d = h.reshape(rows, d)
+    lab2d = labels.reshape(rows, 1).astype(jnp.int32)
+    if total != rows:
+        h2d = jnp.pad(h2d, ((0, total - rows), (0, 0)))
+        # out-of-range label: padded rows contribute loss = lse - 0 (ignored)
+        lab2d = jnp.pad(lab2d, ((0, total - rows), (0, 0)), constant_values=-1)
+    bias2d = (
+        bias.reshape(1, v) if bias is not None else jnp.zeros((1, v), jnp.float32)
+    )
+    return h2d, bias2d, lab2d, rows, total, r_blk, vb
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def fused_vocab_cross_entropy(h, w, bias, labels):
+    """Per-token softmax CE of `h @ w + bias` against integer `labels`.
+
+    h: (b, n, d); w: (d, V); bias: (V,) or None; labels: (b, n) int.
+    Returns (b, n) f32 losses — identical math to
+    optax.softmax_cross_entropy_with_integer_labels(h @ w + bias, labels),
+    but the (b, n, V) logits never exist in HBM in either direction.
+    Gradients flow to h, w, bias (labels get none)."""
+    loss, _ = _fwd_impl(h, w, bias, labels)
+    return loss
+
+
+def _fwd_impl(h, w, bias, labels):
+    b, n, _ = h.shape
+    h2d, bias2d, lab2d, rows, total, r_blk, vb = _prep(h, w, bias, labels)
+    loss, lse = _ce_forward(h2d, w, bias2d, lab2d, r_blk=r_blk, vb=vb)
+    return loss[:rows, 0].reshape(b, n), lse
+
+
+def _ce_fwd(h, w, bias, labels):
+    loss, lse = _fwd_impl(h, w, bias, labels)
+    return loss, (h, w, bias, labels, lse)
+
+
+def _ce_bwd(residuals, g):
+    h, w, bias, labels, lse = residuals
+    b, n, d = h.shape
+    h2d, bias2d, lab2d, rows, total, r_blk, vb = _prep(h, w, bias, labels)
+    r_blk_b = min(r_blk, _ROW_BLOCK_BWD)
+    if total % r_blk_b != 0:
+        r_blk_b = r_blk
+    g2d = g.reshape(rows, 1).astype(jnp.float32)
+    if total != rows:
+        # zero cotangent on padded rows kills their (p - onehot) term
+        g2d = jnp.pad(g2d, ((0, total - rows), (0, 0)))
+    dh, dw, db = _ce_backward(
+        h2d, w, bias2d, lab2d, lse, g2d, r_blk=r_blk_b, vb=vb
+    )
+    dh = dh[:rows].reshape(b, n, d).astype(h.dtype)
+    dw = dw.astype(w.dtype)
+    dbias = db[0].astype(bias.dtype) if bias is not None else None
+    return dh, dw, dbias, None
+
+
+fused_vocab_cross_entropy.defvjp(_ce_fwd, _ce_bwd)
+
+
+def use_fused_ce() -> bool:
+    return jax.default_backend() == "tpu"

@@ -133,7 +133,9 @@ def test_two_process_cpu_training_smoke(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=390)
+            # generous: the workers compile serially and the suite may be
+            # saturating the host's cores with other (interpret-mode) tests
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

@@ -267,3 +267,67 @@ def test_phenaki_save_load_roundtrip(tmp_path):
         rng=jax.random.PRNGKey(0),
     )
     assert video.shape[1] == 3
+
+
+def test_fused_ce_loss_path_matches_xla(monkeypatch):
+    """Phenaki.loss through the fused projection+CE kernels (interpret mode)
+    must match the XLA logits path: same loss, same gradients."""
+    import phenaki_tpu.models.phenaki as phenaki_mod
+    import phenaki_tpu.ops.pallas_ce as pce
+
+    cvivit = CViViT(
+        dim=32,
+        codebook_size=512,  # vocab >= 512 so can_fuse_ce passes
+        image_size=16,
+        patch_size=8,
+        temporal_patch_size=2,
+        spatial_depth=1,
+        temporal_depth=1,
+        dim_head=16,
+        heads=2,
+    )
+    cvivit_vars = cvivit.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 16, 16, 3)))
+    maskgit = MaskGit(
+        dim=128,  # multiple of 128 so can_fuse_ce passes
+        num_tokens=512,
+        max_seq_len=64,
+        depth=1,
+        heads=2,
+        dim_head=16,
+        dim_context=TEXT_DIM,
+    )
+    ph = Phenaki(
+        maskgit=maskgit,
+        cvivit=cvivit,
+        cvivit_vars=cvivit_vars,
+        steps=4,
+        text_embed_dim=TEXT_DIM,
+        max_text_len=6,
+    )
+    ph.init(jax.random.PRNGKey(1))
+
+    videos = jax.random.uniform(jax.random.PRNGKey(2), (2, 3, 16, 16, 3))
+    te = text_embeds(2)
+    rng = jax.random.PRNGKey(3)
+
+    def run(loss_fn_params):
+        loss, metrics = ph.loss(
+            loss_fn_params, rng, videos=videos, text_embeds=te, train=True
+        )
+        return loss
+
+    # XLA reference path
+    monkeypatch.setattr(phenaki_mod, "use_fused_ce", lambda: False)
+    l_xla, g_xla = jax.value_and_grad(run)(ph.params)
+
+    # fused path (interpret mode on CPU)
+    monkeypatch.setattr(pce, "_INTERPRET", True)
+    monkeypatch.setattr(phenaki_mod, "use_fused_ce", lambda: True)
+    l_fused, g_fused = jax.value_and_grad(run)(ph.params)
+
+    np.testing.assert_allclose(float(l_fused), float(l_xla), atol=1e-5, rtol=1e-5)
+    flat_x, _ = jax.flatten_util.ravel_pytree(g_xla)
+    flat_f, _ = jax.flatten_util.ravel_pytree(g_fused)
+    np.testing.assert_allclose(
+        np.asarray(flat_f), np.asarray(flat_x), atol=3e-4, rtol=3e-4
+    )
