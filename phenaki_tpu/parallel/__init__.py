@@ -11,6 +11,7 @@ from phenaki_tpu.parallel.mesh import (
     place_like,
     replicate,
     shard_batch,
+    shard_like_params,
     shard_params,
 )
 from phenaki_tpu.parallel.ring_attention import (
@@ -29,6 +30,7 @@ __all__ = [
     "place_like",
     "replicate",
     "shard_batch",
+    "shard_like_params",
     "shard_params",
     "ring_qk_norm_attention",
     "sequence_sharded_attention",

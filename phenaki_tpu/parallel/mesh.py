@@ -113,8 +113,24 @@ def _put(value: Any, sharding) -> jax.Array:
     return jax.device_put(value, sharding)
 
 
-def param_partition_spec(path: Tuple, value: Any, tp_enabled: bool = True) -> P:
-    """PartitionSpec for one param, from its pytree path."""
+# FSDP: params/opt-state below this many elements stay replicated — sharding
+# tiny biases/scales over dp costs an all-gather each use for no memory win
+_FSDP_MIN_SIZE = 2**16
+
+
+def param_partition_spec(
+    path: Tuple, value: Any, tp_enabled: bool = True, fsdp_size: int = 1
+) -> P:
+    """PartitionSpec for one param, from its pytree path.
+
+    With `fsdp_size > 1`, params (and through the jitted optimizer init,
+    Adam moments) additionally shard their largest still-unsharded dim over
+    the 'dp' axis — ZeRO-3-style fully sharded data parallelism, the
+    TPU-native equivalent of torch FSDP: XLA all-gathers each param just
+    before use and reduce-scatters its gradient, both riding ICI. Composes
+    with the Megatron TP rules (a qkv kernel can be tp on dim 1 and fsdp on
+    dim 0). Beyond the reference's capability set (Accelerate DDP only,
+    cvivit_trainer.py:147-159)."""
     names = []
     for k in path:
         if hasattr(k, "key"):
@@ -125,51 +141,113 @@ def param_partition_spec(path: Tuple, value: Any, tp_enabled: bool = True) -> P:
             names.append(str(k))
     joined = "/".join(names)
 
+    spec = P()
     if tp_enabled:
-        for pattern, spec in _TP_RULES:
+        for pattern, tp_spec in _TP_RULES:
             if re.match(pattern, joined):
                 # scan-over-layers params carry a leading depth axis
                 # (transformer.py scan_layers) — keep it replicated
-                if "layers_scan" in joined and np.ndim(value) == len(spec) + 1:
-                    spec = P(None, *spec)
-                return spec  # divisibility checked by callers at shard time
-    return P()
+                if "layers_scan" in joined and np.ndim(value) == len(tp_spec) + 1:
+                    tp_spec = P(None, *tp_spec)
+                spec = tp_spec  # divisibility checked by callers at shard time
+                break
+
+    if fsdp_size > 1 and np.ndim(value) >= 1 and np.size(value) >= _FSDP_MIN_SIZE:
+        entries = list(spec) + [None] * (np.ndim(value) - len(spec))
+        # largest divisible unsharded dim; skip a scanned depth axis (dim 0
+        # of layers_scan params) — scan slices it per layer, and sharding it
+        # would turn every layer step into a cross-device dynamic-slice
+        start = 1 if "layers_scan" in joined else 0
+        cands = [
+            i
+            for i in range(start, np.ndim(value))
+            if entries[i] is None and value.shape[i] % fsdp_size == 0
+        ]
+        if cands:
+            dim = max(cands, key=lambda i: value.shape[i])
+            entries[dim] = DATA_AXIS
+            spec = P(*entries)
+    return spec
 
 
-def shard_params(params: Any, mesh: Mesh, tp_enabled: bool = True) -> Any:
-    """Place a param pytree on the mesh per the TP rules (replicated on dp)."""
+def _fixed_spec(spec: P, value: Any, tp_size: int) -> P:
+    """Drop the tp axis on dims that don't divide (fsdp dims pre-checked)."""
+    fixed = []
+    for i, axis_name in enumerate(spec):
+        if axis_name == MODEL_AXIS and value.shape[i] % tp_size != 0:
+            fixed.append(None)
+        else:
+            fixed.append(axis_name)
+    return P(*fixed) if fixed else P()
+
+
+def shard_params(
+    params: Any, mesh: Mesh, tp_enabled: bool = True, fsdp: bool = False
+) -> Any:
+    """Place a param pytree on the mesh per the TP rules (replicated on dp
+    unless `fsdp`, which additionally shards each large param over 'dp')."""
     tp_size = mesh.shape[MODEL_AXIS]
+    fsdp_size = mesh.shape[DATA_AXIS] if fsdp else 1
 
     def place(path, value):
-        spec = param_partition_spec(path, value, tp_enabled and tp_size > 1)
-        # drop the tp axis if the dim doesn't divide
-        fixed = []
-        for i, axis_name in enumerate(spec):
-            if axis_name is not None and value.shape[i] % tp_size != 0:
-                fixed.append(None)
-            else:
-                fixed.append(axis_name)
-        spec = P(*fixed) if fixed else P()
-        return _put(value, NamedSharding(mesh, spec))
+        spec = param_partition_spec(
+            path, value, tp_enabled and tp_size > 1, fsdp_size
+        )
+        return _put(value, NamedSharding(mesh, _fixed_spec(spec, value, tp_size)))
 
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def partition_specs_for(params: Any, mesh: Mesh, tp_enabled: bool = True) -> Any:
+def partition_specs_for(
+    params: Any, mesh: Mesh, tp_enabled: bool = True, fsdp: bool = False
+) -> Any:
     """Pytree of PartitionSpecs mirroring `shard_params` placement."""
     tp_size = mesh.shape[MODEL_AXIS]
+    fsdp_size = mesh.shape[DATA_AXIS] if fsdp else 1
 
     def spec_of(path, value):
-        spec = param_partition_spec(path, value, tp_enabled and tp_size > 1)
-        fixed = []
-        for i, axis_name in enumerate(spec):
-            if axis_name is not None and value.shape[i] % tp_size != 0:
-                fixed.append(None)
-            else:
-                fixed.append(axis_name)
-        return P(*fixed) if fixed else P()
+        spec = param_partition_spec(
+            path, value, tp_enabled and tp_size > 1, fsdp_size
+        )
+        return _fixed_spec(spec, value, tp_size)
 
     return jax.tree_util.tree_map_with_path(spec_of, params)
+
+
+def shard_like_params(
+    tree: Any, params: Any, mesh: Mesh, tp_enabled: bool = True,
+    fsdp: bool = False,
+) -> Any:
+    """Place a pytree derived from `params` (optimizer state, EMA) on the
+    mesh: every subtree congruent with `params` (same treedef — Adam's
+    mu/nu, an EMA copy) gets the exact param placements; all other leaves
+    (step counters, accumulators of other shapes) are replicated.
+
+    Needed because `jax.jit(opt.init)` does NOT propagate input shardings
+    to its outputs (zeros_like is a broadcast with no operand sharding to
+    inherit — outputs come back single-device), so optimizer moments must
+    be placed explicitly to match tp/fsdp params."""
+    specs = partition_specs_for(params, mesh, tp_enabled, fsdp)
+    params_treedef = jax.tree_util.tree_structure(params)
+    repl = NamedSharding(mesh, P())
+
+    def is_params_like(node):
+        try:
+            return (
+                jax.tree_util.tree_structure(node) == params_treedef
+                and not params_treedef.num_leaves == 0
+            )
+        except Exception:
+            return False
+
+    def place_node(node):
+        if is_params_like(node):
+            return jax.tree_util.tree_map(
+                lambda v, s: _put(v, NamedSharding(mesh, s)), node, specs
+            )
+        return jax.tree_util.tree_map(lambda v: _put(v, repl), node)
+
+    return jax.tree_util.tree_map(place_node, tree, is_leaf=is_params_like)
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:

@@ -49,11 +49,11 @@ from phenaki_tpu.models.cvivit_losses import (
 )
 from phenaki_tpu.models.vgg import VGG16Features, init_vgg
 from phenaki_tpu.parallel.mesh import (
-    ensure_on_mesh,
     make_mesh,
     place_like as _place_like,
     replicate,
     shard_batch,
+    shard_like_params,
     shard_params,
 )
 from phenaki_tpu.training.checkpoint import CheckpointManager
@@ -100,6 +100,7 @@ class CViViTTrainer:
         discr_attn_res_layers: tuple = (16,),
         vgg_params: Optional[Dict] = None,
         mesh=None,
+        fsdp: bool = False,
         seed: int = 42,
         log_every: int = 10,
         profile_dir: Optional[str] = None,
@@ -172,21 +173,31 @@ class CViViTTrainer:
         self.gen_opt, self.discr_opt = gen_opt, discr_opt
 
         # params placed per the Megatron TP rules (replicated when tp == 1);
-        # optimizer moments and EMA inherit the shardings through jitted init
-        vae_params = shard_params(vae_vars["params"], self.mesh)
-        discr_params = shard_params(discr_vars["params"], self.mesh)
+        # fsdp=True additionally shards large params (and so Adam moments +
+        # EMA) over 'dp' ZeRO-3-style; moments/EMA inherit the shardings
+        # through jitted init
+        vae_params = shard_params(vae_vars["params"], self.mesh, fsdp=fsdp)
+        discr_params = shard_params(discr_vars["params"], self.mesh, fsdp=fsdp)
         self.state = {
             "vae_params": vae_params,
             "vq_stats": replicate(vae_vars.get("vq_stats", {}), self.mesh),
             "discr_params": discr_params,
-            "gen_opt_state": ensure_on_mesh(
-                jax.jit(gen_opt.init)(vae_params), self.mesh
+            # jit(opt.init)/jit(ema_init) don't propagate input shardings
+            # (zeros_like/copies come back single-device) — place moments
+            # and EMA explicitly to mirror the param tp/fsdp placements
+            "gen_opt_state": shard_like_params(
+                jax.jit(gen_opt.init)(vae_params), vae_params, self.mesh,
+                fsdp=fsdp,
             ),
-            "discr_opt_state": ensure_on_mesh(
-                jax.jit(discr_opt.init)(discr_params), self.mesh
+            "discr_opt_state": shard_like_params(
+                jax.jit(discr_opt.init)(discr_params), discr_params,
+                self.mesh, fsdp=fsdp,
             ),
             "ema": (
-                ensure_on_mesh(jax.jit(ema_init)(vae_params), self.mesh)
+                shard_like_params(
+                    jax.jit(ema_init)(vae_params), vae_params, self.mesh,
+                    fsdp=fsdp,
+                )
                 if use_ema
                 else None
             ),
@@ -282,6 +293,11 @@ class CViViTTrainer:
         vae, discr, vgg = self.vae, self.discr, self.vgg
         use_gan = self.use_vgg_and_gan
         mutable_vq = not vae.lookup_free_quantization
+        # pin updated params to their placement (tp/fsdp) — don't let the
+        # SPMD partitioner reshard the state between steps
+        vae_shardings = jax.tree_util.tree_map(
+            lambda x: x.sharding, self.state["vae_params"]
+        )
 
         def gen_step(state, vgg_vars, batch, rng):
             def loss_fn(vae_params):
@@ -312,6 +328,9 @@ class CViViTTrainer:
                 grads, state["gen_opt_state"], state["vae_params"]
             )
             new_params = optax.apply_updates(state["vae_params"], updates)
+            new_params = jax.lax.with_sharding_constraint(
+                new_params, vae_shardings
+            )
 
             new_state = dict(state)
             new_state["vae_params"] = new_params
@@ -352,6 +371,9 @@ class CViViTTrainer:
 
     def _make_discr_step(self):
         vae, discr = self.vae, self.discr
+        discr_shardings = jax.tree_util.tree_map(
+            lambda x: x.sharding, self.state["discr_params"]
+        )
 
         def discr_step(state, batch, rng, apply_grad_penalty: bool):
             def loss_fn(discr_params):
@@ -376,6 +398,9 @@ class CViViTTrainer:
                 grads, state["discr_opt_state"], state["discr_params"]
             )
             new_params = optax.apply_updates(state["discr_params"], updates)
+            new_params = jax.lax.with_sharding_constraint(
+                new_params, discr_shardings
+            )
 
             new_state = dict(state)
             new_state["discr_params"] = new_params

@@ -37,11 +37,11 @@ from phenaki_tpu.data.datasets import DataLoader, ImageDataset, VideoDataset, cy
 from phenaki_tpu.models.phenaki import Phenaki
 from phenaki_tpu.parallel.mesh import (
     MODEL_AXIS,
-    ensure_on_mesh,
     make_mesh,
     place_like as _place_like,
     replicate,
     shard_batch,
+    shard_like_params,
     shard_params,
 )
 from phenaki_tpu.training.checkpoint import CheckpointManager
@@ -121,6 +121,7 @@ class PhenakiTrainer:
         dataset=None,
         dataset_fields: Optional[Tuple[str, ...]] = None,
         mesh=None,
+        fsdp: bool = False,
         seed: int = 42,
         log_every: int = 10,
         profile_dir: Optional[str] = None,
@@ -216,12 +217,19 @@ class PhenakiTrainer:
         self.opt = opt
 
         # place params per the Megatron TP rules (replicated when tp == 1,
-        # attention/FF/vocab dims sharded over 'tp' otherwise); optimizer
-        # moments inherit the param shardings through the jitted init
-        params = shard_params(phenaki.params, self.mesh)
+        # attention/FF/vocab dims sharded over 'tp' otherwise); with
+        # fsdp=True, large params additionally shard over 'dp' (ZeRO-3 —
+        # params all-gathered on use, grads reduce-scattered, Adam moments
+        # sharded); moments inherit the param shardings through jitted init
+        params = shard_params(phenaki.params, self.mesh, fsdp=fsdp)
         self.state = {
             "params": params,
-            "opt_state": ensure_on_mesh(jax.jit(opt.init)(params), self.mesh),
+            # jit(opt.init) does not propagate input shardings (zeros_like
+            # broadcasts come back single-device) — place moments explicitly
+            # to mirror the param tp/fsdp placements
+            "opt_state": shard_like_params(
+                jax.jit(opt.init)(params), params, self.mesh, fsdp=fsdp
+            ),
             "step": replicate(jnp.zeros((), jnp.int32), self.mesh),
         }
         self.tp_size = self.mesh.shape.get(MODEL_AXIS, 1)
@@ -273,6 +281,11 @@ class PhenakiTrainer:
     def _make_train_step(self):
         model = self.model
         has_critic = model.critic is not None
+        # pin updated params to their placement (tp/fsdp) — don't let the
+        # SPMD partitioner reshard the state between steps
+        param_shardings = jax.tree_util.tree_map(
+            lambda x: x.sharding, self.state["params"]
+        )
 
         def train_step(
             state,
@@ -316,6 +329,9 @@ class PhenakiTrainer:
                 grads, state["opt_state"], state["params"]
             )
             new_params = optax.apply_updates(state["params"], updates)
+            new_params = jax.lax.with_sharding_constraint(
+                new_params, param_shardings
+            )
             new_state = {
                 "params": new_params,
                 "opt_state": new_opt_state,

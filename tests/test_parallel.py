@@ -371,3 +371,151 @@ def test_multislice_mesh_train_step():
     with mesh:
         got = fwd(params, ids_s, ctx_s)
     np.testing.assert_allclose(np.asarray(expected), np.asarray(got), atol=2e-4)
+
+
+def test_fsdp_param_sharding_rules(monkeypatch):
+    """fsdp=True shards each large param's largest free dim over 'dp'
+    (ZeRO-3), composing with the TP rules, and leaves small params and the
+    scanned depth axis replicated."""
+    import phenaki_tpu.parallel.mesh as mesh_mod
+
+    monkeypatch.setattr(mesh_mod, "_FSDP_MIN_SIZE", 256)
+
+    mg, variables = build_maskgit()
+    mesh = make_mesh(tp=2)  # dp=4 x tp=2
+    sharded = shard_params(variables["params"], mesh, fsdp=True)
+
+    layer = sharded["transformer"]["layers_0"]["self_attn"]
+    # qkv kernel (32, 32): tp on the output dim, fsdp on the input dim
+    assert tuple(layer["to_q"]["kernel"].sharding.spec) == (DATA_AXIS, MODEL_AXIS)
+    # token embedding (65, 32): rows not divisible by dp=4 -> only try dims
+    # that divide; (65 % 4 != 0, 32 % 4 == 0) -> dim 1
+    emb_spec = tuple(sharded["token_emb"]["embedding"].sharding.spec)
+    assert DATA_AXIS in emb_spec
+    # small params (biases, norms) stay replicated
+    ln = sharded["transformer"]["norm_out"]["gamma"]
+    assert all(s is None for s in ln.sharding.spec) or ln.sharding.spec == ()
+
+
+def test_fsdp_scan_layers_keeps_depth_replicated(monkeypatch):
+    import jax.numpy as jnp
+
+    import phenaki_tpu.parallel.mesh as mesh_mod
+    from phenaki_tpu.models.maskgit import MaskGit
+
+    monkeypatch.setattr(mesh_mod, "_FSDP_MIN_SIZE", 256)
+    mg = MaskGit(
+        dim=32, num_tokens=64, max_seq_len=16, depth=2, heads=2, dim_head=16,
+        dim_context=16, scan_layers=True,
+    )
+    variables = mg.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+        video_patch_shape=(2, 2, 2), context=jnp.zeros((1, 4, 16)),
+    )
+    mesh = make_mesh(tp=2)
+    sharded = shard_params(variables["params"], mesh, fsdp=True)
+    layer = sharded["transformer"]["layers_scan"]["self_attn"]
+    spec = tuple(layer["to_q"]["kernel"].sharding.spec)  # (depth, in, out)
+    assert spec[0] is None, "scanned depth axis must stay replicated"
+    assert spec == (None, DATA_AXIS, MODEL_AXIS)
+
+
+def test_phenaki_trainer_fsdp_equals_replicated(monkeypatch):
+    """fsdp=True wired into PhenakiTrainer: params/opt-state shard over 'dp'
+    and the training trajectory matches replicated dp (same data, same seed)
+    — FSDP changes memory layout, not math."""
+    import tempfile
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import phenaki_tpu.parallel.mesh as mesh_mod
+    from phenaki_tpu.models.cvivit import CViViT
+    from phenaki_tpu.models.maskgit import MaskGit
+    from phenaki_tpu.models.phenaki import Phenaki
+    from phenaki_tpu.training.phenaki_trainer import PhenakiTrainer
+
+    monkeypatch.setattr(mesh_mod, "_FSDP_MIN_SIZE", 256)
+
+    video = np.random.RandomState(3).rand(5, 16, 16, 3).astype(np.float32)
+
+    class FixedDataset:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, idx):
+            return video, "a video of a cat"
+
+    def build(fsdp, results):
+        cvivit = CViViT(
+            dim=32, codebook_size=64, image_size=16, patch_size=8,
+            temporal_patch_size=2, spatial_depth=1, temporal_depth=1,
+            dim_head=16, heads=2,
+        )
+        cvivit_vars = cvivit.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 3, 16, 16, 3))
+        )
+        maskgit = MaskGit(
+            dim=32, num_tokens=64, max_seq_len=64, depth=1, heads=2,
+            dim_head=16, dim_context=512,
+        )
+        ph = Phenaki(
+            maskgit=maskgit, cvivit=cvivit, cvivit_vars=cvivit_vars, steps=2,
+            t5_name="google/t5-v1_1-small", max_text_len=8,
+        )
+        return PhenakiTrainer(
+            ph,
+            dataset=FixedDataset(),
+            batch_size=4,
+            num_frames=5,
+            train_num_steps=10,
+            num_samples=1,
+            save_and_sample_every=10**9,
+            results_folder=results,
+            sample_texts=["a cat"],
+            mesh=make_mesh(jax.devices()[:4], tp=1),
+            fsdp=fsdp,
+            seed=7,
+        )
+
+    with tempfile.TemporaryDirectory() as d:
+        tr_rep = build(False, d + "/rep")
+        tr_fsdp = build(True, d + "/fsdp")
+
+        def dp_sharded_leaves(tree):
+            return [
+                l
+                for l in jax.tree_util.tree_leaves(tree)
+                if DATA_AXIS
+                in jax.tree_util.tree_leaves(
+                    getattr(l.sharding, "spec", ()), is_leaf=lambda x: True
+                )
+                or any(s == DATA_AXIS for s in getattr(l.sharding, "spec", ()))
+            ]
+
+        assert dp_sharded_leaves(tr_fsdp.state["params"]), (
+            "fsdp trainer must dp-shard some params"
+        )
+        assert dp_sharded_leaves(tr_fsdp.state["opt_state"]), (
+            "Adam moments must inherit the fsdp shardings"
+        )
+
+        losses_rep = [float(jax.device_get(tr_rep.train_step())) for _ in range(2)]
+        losses_fsdp = [
+            float(jax.device_get(tr_fsdp.train_step())) for _ in range(2)
+        ]
+        np.testing.assert_allclose(losses_rep, losses_fsdp, rtol=2e-4, atol=2e-5)
+
+        # params stay pinned to their fsdp placement across steps
+        assert dp_sharded_leaves(tr_fsdp.state["params"])
+
+        p_rep = jax.device_get(tr_rep.state["params"])
+        p_fsdp = jax.device_get(tr_fsdp.state["params"])
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_rep), jax.tree_util.tree_leaves(p_fsdp)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=3e-4
+            )
+        tr_rep.checkpoints.close()
+        tr_fsdp.checkpoints.close()
