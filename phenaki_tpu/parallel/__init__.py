@@ -14,6 +14,10 @@ from phenaki_tpu.parallel.mesh import (
     shard_like_params,
     shard_params,
 )
+from phenaki_tpu.parallel.pipeline import (
+    make_pipeline_mesh,
+    pipeline_transformer_apply,
+)
 from phenaki_tpu.parallel.ring_attention import (
     ring_qk_norm_attention,
     sequence_sharded_attention,
@@ -32,6 +36,8 @@ __all__ = [
     "shard_batch",
     "shard_like_params",
     "shard_params",
+    "make_pipeline_mesh",
+    "pipeline_transformer_apply",
     "ring_qk_norm_attention",
     "sequence_sharded_attention",
 ]
