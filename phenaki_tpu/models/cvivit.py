@@ -59,6 +59,13 @@ class CViViT(nn.Module):
     lookup_free_quantization: bool = True
     remat: bool = False  # rematerialize transformer activations (big configs)
     scan_layers: bool = False  # nn.scan over layers: faster compiles
+    # temporal-PEG grid layout. False (default): the intended causal conv
+    # over the real (t, h, w) grid ('bhw_t'). True: replicate the reference
+    # quirk (attention.py:71) that reshapes the flat (b*h*w, t, d) temporal
+    # sequence directly as (b, t, h, w, d), scrambling the grid — REQUIRED
+    # when loading reference checkpoints (convert.py), whose trained weights
+    # expect the scrambled stencil.
+    peg_reference_layout: bool = False
     dtype: jnp.dtype = jnp.float32
 
     # ------------------------------------------------------------------ #
@@ -173,7 +180,9 @@ class CViViT(nn.Module):
             causal=True,
             peg=True,
             peg_causal=True,
-            peg_layout="bhw_t",  # sequence axis is time, batch folds space
+            # sequence axis is time, batch folds space; 'thw' on this flat
+            # layout reproduces the reference's scrambled-grid stencil
+            peg_layout="thw" if self.peg_reference_layout else "bhw_t",
             remat=self.remat,
             scan_layers=self.scan_layers,
             dtype=self.dtype,

@@ -157,11 +157,13 @@ class Attention(nn.Module):
                 )
             kv_input = context
         else:
-            kv_input = None
+            # reference quirk kept for checkpoint/numerical parity: in
+            # self-attention K/V come from the PRE-norm input — the
+            # reference binds kv_input before x = self.norm(x)
+            # (attention.py:138-142); only the queries see the LayerNorm
+            kv_input = x
 
         x = LayerNorm(self.dim, dtype=self.dtype, name="norm")(x)
-        if kv_input is None:
-            kv_input = x
 
         q = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
         kv = nn.Dense(inner_dim * 2, use_bias=False, dtype=self.dtype, name="to_kv")(
