@@ -31,6 +31,11 @@ _EXPORTS = {
     "make_video": "phenaki_tpu.models.phenaki",
     "CViViTTrainer": "phenaki_tpu.training.cvivit_trainer",
     "PhenakiTrainer": "phenaki_tpu.training.phenaki_trainer",
+    "PhenakiServer": "phenaki_tpu.serving",
+    "serve_http": "phenaki_tpu.serving",
+    "convert_cvivit_state_dict": "phenaki_tpu.convert",
+    "convert_maskgit_state_dict": "phenaki_tpu.convert",
+    "convert_token_critic_state_dict": "phenaki_tpu.convert",
 }
 
 
@@ -50,4 +55,9 @@ __all__ = [
     "make_video",
     "CViViTTrainer",
     "PhenakiTrainer",
+    "PhenakiServer",
+    "serve_http",
+    "convert_cvivit_state_dict",
+    "convert_maskgit_state_dict",
+    "convert_token_critic_state_dict",
 ]

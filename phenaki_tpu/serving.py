@@ -1,0 +1,263 @@
+"""Production serving: dynamic request batching for `Phenaki.sample`.
+
+The reference has no serving story (library only). On TPU, sampling is one
+compiled program whose throughput rises steeply with batch (BASELINE.md:
+84 ms at b=1 vs 11.5 videos/s at b=8 — the decode transformer is
+launch-bound at small batch), so a server should coalesce concurrent
+requests into one device launch.
+
+`PhenakiServer` implements the standard dynamic-batching loop:
+
+  * callers submit prompts (text or precomputed embeddings) and get a
+    Future;
+  * a dispatcher thread drains the queue, waits up to `max_delay_ms` for
+    more requests (latency/throughput knob), pads the batch to the nearest
+    compiled bucket size (static shapes — XLA compiles once per bucket,
+    first request per bucket pays the compile), runs ONE `sample`, and
+    resolves the futures;
+  * text encoding (host-side T5/hash) runs in the dispatcher, off the
+    caller threads; the device queue never sees partial batches.
+
+Every request carries its own fold of the server rng so identical prompts
+in one batch still decode different videos, while a fixed `seed` makes the
+whole server deterministic per (arrival-order, bucket) schedule.
+
+`serve_http` wraps a server in a minimal JSON/HTTP front end (stdlib only)
+for smoke deployments: POST /generate {"text": ...} -> {"video": base64
+gif}. Production deployments should put a real gateway in front; the
+batching core is the reusable piece.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+
+class _Request:
+    __slots__ = ("text", "text_embeds", "future")
+
+    def __init__(self, text, text_embeds):
+        self.text = text
+        self.text_embeds = text_embeds
+        self.future: Future = Future()
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class PhenakiServer:
+    """Dynamic-batching sampler around a (trained) `Phenaki` model.
+
+    Parameters mirror `Phenaki.sample`; `batch_buckets` are the compiled
+    batch sizes (requests pad up to the nearest bucket; oversize bursts
+    split across launches)."""
+
+    def __init__(
+        self,
+        phenaki,
+        *,
+        num_frames: int = 17,
+        cond_scale: float = 5.0,
+        starting_temperature: float = 0.9,
+        batch_buckets: Sequence[int] = (1, 2, 4, 8),
+        max_delay_ms: float = 20.0,
+        seed: int = 0,
+        mesh=None,
+    ):
+        assert phenaki.params is not None, "model must be initialized/loaded"
+        self.model = phenaki
+        self.num_frames = num_frames
+        self.cond_scale = cond_scale
+        self.starting_temperature = starting_temperature
+        self.batch_buckets = tuple(sorted(batch_buckets))
+        self.max_delay_ms = max_delay_ms
+        self.mesh = mesh
+        self._rng = jax.random.PRNGKey(seed)
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._launches: List[Tuple[int, int]] = []  # (requests, bucket)
+        self._closed = False
+        self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------------ #
+    # client API                                                          #
+    # ------------------------------------------------------------------ #
+
+    def submit(self, text: Optional[str] = None, text_embeds=None) -> Future:
+        """Enqueue one prompt; resolves to a (f, H, W, c) float video."""
+        assert not self._closed, "server is closed"
+        assert (text is None) != (text_embeds is None), (
+            "pass exactly one of text / text_embeds"
+        )
+        req = _Request(text, text_embeds)
+        self._queue.put(req)
+        return req.future
+
+    def generate(self, texts: Sequence[str]) -> np.ndarray:
+        """Synchronous convenience: submit all, wait, stack."""
+        futures = [self.submit(text=t) for t in texts]
+        return np.stack([f.result() for f in futures])
+
+    def close(self):
+        self._closed = True
+        self._queue.put(None)
+        self._thread.join(timeout=30)
+
+    @property
+    def launch_log(self) -> List[Tuple[int, int]]:
+        """(num_real_requests, bucket_size) per device launch (telemetry)."""
+        return list(self._launches)
+
+    # ------------------------------------------------------------------ #
+    # dispatcher                                                          #
+    # ------------------------------------------------------------------ #
+
+    def _collect(self) -> Optional[List[_Request]]:
+        """Block for the first request, then coalesce up to max bucket for
+        at most max_delay_ms."""
+        first = self._queue.get()
+        if first is None:
+            return None
+        batch = [first]
+        max_b = self.batch_buckets[-1]
+        deadline = self.max_delay_ms / 1000.0
+        import time
+
+        t0 = time.monotonic()
+        while len(batch) < max_b:
+            remaining = deadline - (time.monotonic() - t0)
+            if remaining <= 0:
+                break
+            try:
+                req = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if req is None:
+                self._queue.put(None)  # re-signal shutdown for next loop
+                break
+            batch.append(req)
+        return batch
+
+    def _dispatch_loop(self):
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            try:
+                self._run_batch(batch)
+            except Exception as e:  # resolve futures, keep serving
+                for req in batch:
+                    if not req.future.done():
+                        req.future.set_exception(e)
+
+    def _run_batch(self, batch: List[_Request]):
+        n = len(batch)
+        bucket = _bucket(n, self.batch_buckets)
+
+        texts = [r.text for r in batch]
+        if any(t is not None for t in texts):
+            assert all(t is not None for t in texts) or all(
+                t is None for t in texts
+            ), "mixed text/embeds batches unsupported"
+            embeds = self.model.embed_texts([t for t in texts])
+        else:
+            embeds = np.stack([np.asarray(r.text_embeds) for r in batch])
+        # pad rows to the bucket (repeat last row; outputs discarded)
+        if bucket != n:
+            pad = np.repeat(embeds[-1:], bucket - n, axis=0)
+            embeds = np.concatenate([embeds, pad], axis=0)
+
+        self._rng, sub = jax.random.split(self._rng)
+        videos = self.model.sample(
+            num_frames=self.num_frames,
+            text_embeds=embeds,
+            cond_scale=self.cond_scale,
+            starting_temperature=self.starting_temperature,
+            rng=sub,
+            mesh=self.mesh,
+        )
+        videos = np.asarray(jax.device_get(videos), np.float32)
+        self._launches.append((n, bucket))
+        for i, req in enumerate(batch):
+            req.future.set_result(videos[i])
+
+
+# ---------------------------------------------------------------------- #
+# minimal HTTP front end (stdlib only)                                   #
+# ---------------------------------------------------------------------- #
+
+
+def _video_to_gif_b64(video: np.ndarray) -> str:
+    from phenaki_tpu.data.codecs import video_tensor_to_gif
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "v.gif")
+        video_tensor_to_gif(np.clip(video, 0.0, 1.0), path)
+        with open(path, "rb") as f:
+            return base64.b64encode(f.read()).decode()
+
+
+def serve_http(server: PhenakiServer, port: int = 8089, max_requests=None):
+    """Blocking JSON/HTTP endpoint: POST /generate {"text": "..."} ->
+    {"video_gif_b64": ...}; GET /healthz -> ok. `max_requests` bounds the
+    serve loop (for tests)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                body = b"ok"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self.send_response(404)
+                self.end_headers()
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            payload = json.loads(self.rfile.read(length) or b"{}")
+            try:
+                video = server.submit(text=payload["text"]).result(timeout=600)
+                body = json.dumps(
+                    {"video_gif_b64": _video_to_gif_b64(video)}
+                ).encode()
+                self.send_response(200)
+            except Exception as e:
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_response(500)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    if max_requests is None:
+        httpd.serve_forever()
+    else:
+        for _ in range(max_requests):
+            httpd.handle_request()
+    httpd.server_close()
+    return httpd

@@ -1,0 +1,125 @@
+"""Dynamic-batching server (phenaki_tpu/serving.py): coalescing, bucket
+padding, per-request rng decorrelation, error isolation, HTTP front end."""
+
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phenaki_tpu.models.cvivit import CViViT
+from phenaki_tpu.models.maskgit import MaskGit
+from phenaki_tpu.models.phenaki import Phenaki
+from phenaki_tpu.serving import PhenakiServer, serve_http
+
+TEXT_DIM = 16
+
+
+@pytest.fixture(scope="module")
+def tiny_phenaki():
+    cvivit = CViViT(
+        dim=32, codebook_size=64, image_size=16, patch_size=8,
+        temporal_patch_size=2, spatial_depth=1, temporal_depth=1,
+        dim_head=16, heads=2,
+    )
+    cvivit_vars = cvivit.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 16, 16, 3)))
+    maskgit = MaskGit(
+        dim=32, num_tokens=64, max_seq_len=16, depth=1, heads=2, dim_head=16,
+        dim_context=TEXT_DIM,
+    )
+    ph = Phenaki(
+        maskgit=maskgit, cvivit=cvivit, cvivit_vars=cvivit_vars, steps=2,
+        text_embed_dim=TEXT_DIM, max_text_len=4,
+    )
+    ph.init(jax.random.PRNGKey(1))
+    return ph
+
+
+def test_server_batches_concurrent_requests(tiny_phenaki):
+    server = PhenakiServer(
+        tiny_phenaki, num_frames=3, cond_scale=2.0,
+        batch_buckets=(1, 2, 4), max_delay_ms=200.0, seed=0,
+    )
+    try:
+        embeds = np.random.RandomState(0).randn(4, 3, TEXT_DIM).astype(np.float32)
+        futures = [server.submit(text_embeds=embeds[i]) for i in range(3)]
+        videos = [f.result(timeout=300) for f in futures]
+        for v in videos:
+            assert v.shape == (3, 16, 16, 3)
+            assert np.isfinite(v).all()
+        # the three concurrent submits coalesced (<= 2 launches, and at
+        # least one multi-request launch)
+        log = server.launch_log
+        assert sum(n for n, _ in log) == 3
+        assert len(log) <= 2
+        assert any(n > 1 for n, _ in log)
+        # bucket padding: a 3-request batch runs at bucket 4
+        assert all(b in (1, 2, 4) for _, b in log)
+    finally:
+        server.close()
+
+
+def test_server_decorrelates_identical_prompts(tiny_phenaki):
+    server = PhenakiServer(
+        tiny_phenaki, num_frames=3, cond_scale=2.0,
+        batch_buckets=(2,), max_delay_ms=300.0, seed=1,
+    )
+    try:
+        emb = np.random.RandomState(1).randn(3, TEXT_DIM).astype(np.float32)
+        f1 = server.submit(text_embeds=emb)
+        f2 = server.submit(text_embeds=emb)
+        v1, v2 = f1.result(timeout=300), f2.result(timeout=300)
+        assert not np.allclose(v1, v2), (
+            "identical prompts in one batch must sample different videos"
+        )
+    finally:
+        server.close()
+
+
+def test_server_isolates_request_errors(tiny_phenaki):
+    server = PhenakiServer(
+        tiny_phenaki, num_frames=3, batch_buckets=(1, 2), max_delay_ms=5.0,
+    )
+    try:
+        bad = server.submit(text_embeds=np.zeros((5, 5, 5, 5)))  # bad shape
+        with pytest.raises(Exception):
+            bad.result(timeout=300)
+        # server keeps serving after a failed batch
+        emb = np.random.RandomState(2).randn(3, TEXT_DIM).astype(np.float32)
+        ok = server.submit(text_embeds=emb).result(timeout=300)
+        assert ok.shape == (3, 16, 16, 3)
+    finally:
+        server.close()
+
+
+def test_http_front_end(tiny_phenaki):
+    import json
+    import urllib.request
+
+    server = PhenakiServer(
+        tiny_phenaki, num_frames=3, cond_scale=2.0, batch_buckets=(1,),
+        max_delay_ms=1.0,
+    )
+    port = 18907
+    t = threading.Thread(
+        target=serve_http, args=(server, port), kwargs={"max_requests": 2},
+        daemon=True,
+    )
+    t.start()
+    time.sleep(0.3)
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            assert r.read() == b"ok"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"text": "a bouncing ball"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            payload = json.loads(r.read())
+        assert "video_gif_b64" in payload and len(payload["video_gif_b64"]) > 100
+    finally:
+        t.join(timeout=10)
+        server.close()
