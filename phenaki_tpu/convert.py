@@ -205,6 +205,11 @@ def convert_maskgit_state_dict(
 ) -> Dict[str, Any]:
     """Reference MaskGit (phenaki_pytorch.py:105-213) state_dict ->
     phenaki_tpu MaskGit param tree."""
+    assert maskgit.reference_attention_kv, (
+        "construct the MaskGit with reference_attention_kv=True — reference"
+        " weights expect self-attention K/V from the pre-norm input"
+        " (reference attention.py:138-142)"
+    )
     s = _SD(sd)
     params = {
         "token_emb": {"embedding": _np(s.take("token_emb.weight"))},
@@ -234,6 +239,10 @@ def convert_token_critic_state_dict(
 ) -> Dict[str, Any]:
     """Reference TokenCritic (phenaki_pytorch.py:217-302) state_dict ->
     phenaki_tpu TokenCritic param tree."""
+    assert critic.reference_attention_kv, (
+        "construct the TokenCritic with reference_attention_kv=True (see"
+        " convert_maskgit_state_dict)"
+    )
     s = _SD(sd)
     params = {
         "token_emb": {"embedding": _np(s.take("token_emb.weight"))},
@@ -276,6 +285,12 @@ def convert_cvivit_state_dict(
     Pass the vgg-stripped model state_dict (the reference already excludes
     vgg from checkpoints, cvivit.py:423-429); discriminator keys (`discr.*`)
     are ignored — the tokenizer consumed by Phenaki doesn't carry one."""
+    assert cvivit.peg_reference_layout and cvivit.reference_attention_kv, (
+        "construct the CViViT with peg_reference_layout=True and"
+        " reference_attention_kv=True — reference weights expect the"
+        " scrambled temporal-PEG grid (reference attention.py:71) and"
+        " pre-norm self-attention K/V (attention.py:138-142)"
+    )
     s = _SD(sd)
     # discriminator/vgg are separate models in our layout — drop here
     for k in list(s.sd):

@@ -66,6 +66,10 @@ class CViViT(nn.Module):
     # when loading reference checkpoints (convert.py), whose trained weights
     # expect the scrambled stencil.
     peg_reference_layout: bool = False
+    # self-attn K/V from the pre-norm input (reference quirk,
+    # attention.py:138-142) — set True, with peg_reference_layout=True,
+    # when loading converted reference checkpoints
+    reference_attention_kv: bool = False
     dtype: jnp.dtype = jnp.float32
 
     # ------------------------------------------------------------------ #
@@ -168,6 +172,7 @@ class CViViT(nn.Module):
             peg=False,
             remat=self.remat,
             scan_layers=self.scan_layers,
+            attn_reference_self_kv=self.reference_attention_kv,
             dtype=self.dtype,
         )
         # only temporal transformers have PEG and are causal (cvivit.py:297-308)
@@ -185,6 +190,7 @@ class CViViT(nn.Module):
             peg_layout="thw" if self.peg_reference_layout else "bhw_t",
             remat=self.remat,
             scan_layers=self.scan_layers,
+            attn_reference_self_kv=self.reference_attention_kv,
             dtype=self.dtype,
         )
 

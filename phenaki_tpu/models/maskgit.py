@@ -42,6 +42,9 @@ class MaskGit(nn.Module):
     dim_context: Optional[int] = None
     remat: bool = False  # rematerialize layer activations (big configs)
     scan_layers: bool = False  # nn.scan over layers: faster compiles
+    # self-attn K/V from the pre-norm input — set True when loading
+    # converted reference checkpoints (phenaki_tpu/convert.py)
+    reference_attention_kv: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -68,6 +71,7 @@ class MaskGit(nn.Module):
             dim_context=self.dim_context,
             remat=self.remat,
             scan_layers=self.scan_layers,
+            attn_reference_self_kv=self.reference_attention_kv,
             dtype=self.dtype,
         )
         self.to_logits = nn.Dense(self.num_tokens, dtype=self.dtype)
@@ -238,6 +242,7 @@ class TokenCritic(nn.Module):
     dim_context: Optional[int] = None
     remat: bool = False
     scan_layers: bool = False
+    reference_attention_kv: bool = False  # reference-checkpoint parity
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -259,6 +264,7 @@ class TokenCritic(nn.Module):
             dim_context=self.dim_context,
             remat=self.remat,
             scan_layers=self.scan_layers,
+            attn_reference_self_kv=self.reference_attention_kv,
             dtype=self.dtype,
         )
         self.to_logits = nn.Dense(1, dtype=self.dtype)

@@ -48,6 +48,9 @@ class TransformerLayer(nn.Module):
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
     remat: bool = False
+    # self-attn K/V from the pre-norm input (reference parity; see
+    # ops/attention.py Attention.reference_self_kv)
+    attn_reference_self_kv: bool = False
     # static over the scan; the (b, t, h, w) grid for PEG
     video_shape: Optional[Tuple[int, int, int, int]] = None
     deterministic: bool = True
@@ -90,6 +93,7 @@ class TransformerLayer(nn.Module):
                 heads=self.heads,
                 causal=self.causal,
                 dropout=self.attn_dropout,
+                reference_self_kv=self.attn_reference_self_kv,
                 dtype=self.dtype,
                 name="self_attn",
             )(x, self_attn_mask, None, attn_bias, self.deterministic)
@@ -140,6 +144,8 @@ class Transformer(nn.Module):
     has_cross_attn: bool = False
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
+    # self-attn K/V from the pre-norm input (reference-checkpoint parity)
+    attn_reference_self_kv: bool = False
     # rematerialize attention/FF activations in the backward pass — trades
     # ~30% more FLOPs for O(depth) less activation HBM (jax.checkpoint;
     # the reference has no equivalent, large configs rely on it on TPU)
@@ -165,6 +171,7 @@ class Transformer(nn.Module):
             attn_dropout=self.attn_dropout,
             ff_dropout=self.ff_dropout,
             remat=self.remat,
+            attn_reference_self_kv=self.attn_reference_self_kv,
             video_shape=video_shape,
             deterministic=deterministic,
             dtype=self.dtype,

@@ -130,6 +130,14 @@ class Attention(nn.Module):
     norm_context: bool = True
     dropout: float = 0.0
     scale: float = 8.0
+    # reference quirk (attention.py:138-142): in self-attention the
+    # reference takes K/V from the PRE-norm input (kv_input is bound before
+    # x = self.norm(x)), so only queries see the LayerNorm. Our default
+    # normalizes K/V too — better-conditioned training (measured: the
+    # moving-shapes system check reaches 100% caption accuracy vs 53% with
+    # the quirk). Set True when loading converted reference checkpoints,
+    # whose trained weights expect the quirked statistics.
+    reference_self_kv: bool = False
     # route through the fused Pallas kernel on TPU. Disable for modules that
     # need HIGHER-ORDER gradients (e.g. the discriminator under the R1
     # gradient penalty / adaptive-weight losses): the kernel's custom_vjp
@@ -156,14 +164,14 @@ class Attention(nn.Module):
                     context
                 )
             kv_input = context
+        elif self.reference_self_kv:
+            kv_input = x  # pre-norm input (see field docstring)
         else:
-            # reference quirk kept for checkpoint/numerical parity: in
-            # self-attention K/V come from the PRE-norm input — the
-            # reference binds kv_input before x = self.norm(x)
-            # (attention.py:138-142); only the queries see the LayerNorm
-            kv_input = x
+            kv_input = None
 
         x = LayerNorm(self.dim, dtype=self.dtype, name="norm")(x)
+        if kv_input is None:
+            kv_input = x
 
         q = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
         kv = nn.Dense(inner_dim * 2, use_bias=False, dtype=self.dtype, name="to_kv")(

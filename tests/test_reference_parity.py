@@ -59,6 +59,7 @@ def test_maskgit_forward_parity(scan_layers):
     ours = MaskGit(
         dim=64, num_tokens=256, max_seq_len=64, depth=2, heads=4,
         dim_head=16, dim_context=32, scan_layers=scan_layers,
+        reference_attention_kv=True,
     )
     params = convert_maskgit_state_dict(ref.state_dict(), ours)
 
@@ -100,7 +101,7 @@ def test_maskgit_video_mask_and_embeds_parity():
     ).eval()
     ours = MaskGit(
         dim=32, num_tokens=64, max_seq_len=32, depth=1, heads=2,
-        dim_head=16, dim_context=16,
+        dim_head=16, dim_context=16, reference_attention_kv=True,
     )
     params = convert_maskgit_state_dict(ref.state_dict(), ours)
 
@@ -148,6 +149,7 @@ def test_token_critic_parity():
     ours = TokenCritic(
         dim=32, num_tokens=64, max_seq_len=32, depth=2, heads=2,
         dim_head=16, has_cross_attn=True, dim_context=16,
+        reference_attention_kv=True,
     )
     params = convert_token_critic_state_dict(ref.state_dict(), ours)
 
@@ -194,6 +196,7 @@ def test_cvivit_encode_decode_parity():
         dim_head=16, heads=4,
         peg_reference_layout=True,  # reference-trained weights expect the
         # scrambled temporal-PEG stencil (attention.py:71)
+        reference_attention_kv=True,  # and pre-norm self-attention K/V
     )
     params = convert_cvivit_state_dict(ref.state_dict(), ours, strict=True)
 
