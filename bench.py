@@ -215,14 +215,66 @@ def main():
     _emit("cvivit_tokenize_vids_per_sec_b32_17f_256x128", B_tok / dt, "vids/s/chip")
 
     # ------------------------------------------------------------------ #
-    # 3. MaskGit train step (B=4, full fwd+bwd+Adam via the trainer's     #
+    # 3. C-ViViT GAN trainer step (gen+discr phases, VGG perceptual,      #
+    #    adaptive weight, EMA — via the trainer's jitted steps). Runs     #
+    #    BEFORE the flagship MaskGit sections: a GAN training deployment  #
+    #    doesn't share its chip with a resident 65536-vocab sampler, and  #
+    #    HBM fragmentation from those sections distorts this row          #
+    # ------------------------------------------------------------------ #
+    _stage("gan trainer step bench")
+    import gc
+    import tempfile
+
+    from phenaki_tpu.training.cvivit_trainer import CViViTTrainer
+
+    B_tr = 4
+    with tempfile.TemporaryDirectory() as d:
+        gan_trainer = CViViTTrainer(
+            cvivit,
+            num_train_steps=1,
+            batch_size=B_tr,
+            num_frames=num_frames,
+            use_vgg_and_gan=True,
+            discr_base_dim=64,
+            discr_attn_res_layers=(16,),
+            save_results_every=10**9,
+            save_model_every=10**9,
+            results_folder=d,
+            use_ema=True,
+        )
+        batch_gan = jax.jit(
+            lambda k: jax.random.uniform(
+                k, (B_tr, num_frames, 256, 128, 3), dtype
+            )
+        )(jax.random.PRNGKey(6))
+        jax.block_until_ready(batch_gan)
+
+        def gan_once(i):
+            k1, k2 = jax.random.split(jax.random.PRNGKey(200 + i))
+            gan_trainer.state, m1 = gan_trainer._gen_step(
+                gan_trainer.state, gan_trainer.vgg_vars, batch_gan, k1
+            )
+            # the trainer applies the R1 penalty every 4th step
+            # (apply_grad_penalty_every=4) — time the same mix
+            gan_trainer.state, m2 = gan_trainer._discr_step(
+                gan_trainer.state, batch_gan, k2, apply_grad_penalty=(i % 4 == 0)
+            )
+            return m2["discr_loss"]
+
+        _fetch_scalar(gan_once(4))  # compile+warm the no-penalty variant too
+        dt = _time_steady(gan_once, iters=8)
+        gan_trainer.checkpoints.close()
+        del gan_trainer, gan_once, batch_gan
+    gc.collect()
+    _emit("cvivit_gan_train_step_vids_per_sec_b4_17f_256x128", B_tr / dt, "vids/s/chip")
+
+    # ------------------------------------------------------------------ #
+    # 4. MaskGit train step (B=4, full fwd+bwd+Adam via the trainer's     #
     #    jitted step)                                                     #
     # ------------------------------------------------------------------ #
     _stage("maskgit train step bench")
     from phenaki_tpu.training.phenaki_trainer import PhenakiTrainer
-    import tempfile
 
-    B_tr = 4
     with tempfile.TemporaryDirectory() as d:
         trainer = PhenakiTrainer(
             phenaki,
@@ -256,10 +308,16 @@ def main():
 
         dt = _time_steady(train_once, iters=6)
         trainer.checkpoints.close()
+        # release the trainer's device state (params + Adam moments +
+        # MultiSteps ~2-3 GB at the 65536-vocab flagship) before the later
+        # sections — leaked sections overcommit HBM and the GAN trainer
+        # step collapses ~30x from allocator thrashing
+        del trainer, train_once
+    gc.collect()
     _emit("maskgit_train_step_vids_per_sec_b4_17f_256x128", B_tr / dt, "vids/s/chip")
 
     # ------------------------------------------------------------------ #
-    # 4. sampling with TokenCritic (extra critic CFG forward per step)    #
+    # 5. sampling with TokenCritic (extra critic CFG forward per step)    #
     # ------------------------------------------------------------------ #
     _stage("critic sampling bench")
     critic = TokenCritic(
@@ -304,7 +362,7 @@ def main():
     )
 
     # ------------------------------------------------------------------ #
-    # 5. batched sampling throughput (serving mode, batch 8)              #
+    # 6. batched sampling throughput (serving mode, batch 8)              #
     # ------------------------------------------------------------------ #
     _stage("batched sampling bench")
     B_s = 8
@@ -318,6 +376,8 @@ def main():
         ),
         iters=6,
     )
+    del phenaki_c, critic
+    gc.collect()
     _emit(
         "batched_sampling_frames_per_sec_per_chip_b8",
         B_s * num_frames / dt,
@@ -326,50 +386,6 @@ def main():
     )
     _emit("batched_sampling_videos_per_sec_b8", B_s / dt, "videos/s/chip")
 
-    # ------------------------------------------------------------------ #
-    # 6. C-ViViT GAN trainer step (gen+discr phases, VGG perceptual,      #
-    #    adaptive weight, EMA — via the trainer's jitted steps)           #
-    # ------------------------------------------------------------------ #
-    _stage("gan trainer step bench")
-    from phenaki_tpu.training.cvivit_trainer import CViViTTrainer
-
-    with tempfile.TemporaryDirectory() as d:
-        gan_trainer = CViViTTrainer(
-            cvivit,
-            num_train_steps=1,
-            batch_size=B_tr,
-            num_frames=num_frames,
-            use_vgg_and_gan=True,
-            discr_base_dim=64,
-            discr_attn_res_layers=(16,),
-            save_results_every=10**9,
-            save_model_every=10**9,
-            results_folder=d,
-            use_ema=True,
-        )
-        batch_gan = jax.jit(
-            lambda k: jax.random.uniform(
-                k, (B_tr, num_frames, 256, 128, 3), dtype
-            )
-        )(jax.random.PRNGKey(6))
-        jax.block_until_ready(batch_gan)
-
-        def gan_once(i):
-            k1, k2 = jax.random.split(jax.random.PRNGKey(200 + i))
-            gan_trainer.state, m1 = gan_trainer._gen_step(
-                gan_trainer.state, gan_trainer.vgg_vars, batch_gan, k1
-            )
-            # the trainer applies the R1 penalty every 4th step
-            # (apply_grad_penalty_every=4) — time the same mix
-            gan_trainer.state, m2 = gan_trainer._discr_step(
-                gan_trainer.state, batch_gan, k2, apply_grad_penalty=(i % 4 == 0)
-            )
-            return m2["discr_loss"]
-
-        _fetch_scalar(gan_once(4))  # compile+warm the no-penalty variant too
-        dt = _time_steady(gan_once, iters=8)
-        gan_trainer.checkpoints.close()
-    _emit("cvivit_gan_train_step_vids_per_sec_b4_17f_256x128", B_tr / dt, "vids/s/chip")
     _stage("full bench done")
 
 

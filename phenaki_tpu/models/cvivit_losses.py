@@ -260,7 +260,7 @@ def cvivit_discriminator_loss(
     rng: jax.Array,
     *,
     mask: Optional[jax.Array] = None,
-    apply_grad_penalty: bool = True,
+    apply_grad_penalty=True,  # python bool (static) or traced bool array
     use_hinge_loss: bool = True,
 ):
     """Discriminator-phase loss (reference cvivit.py:605-625).
@@ -295,9 +295,24 @@ def cvivit_discriminator_loss(
     loss_fn = hinge_discr_loss if use_hinge_loss else bce_discr_loss
     discr_loss = loss_fn(fake_logits, real_logits)
 
-    gp = jnp.asarray(0.0)
-    if apply_grad_penalty:
-        gp = gradient_penalty(discr, discr_vars, real_frame)
+    # `apply_grad_penalty` may be a PYTHON bool (static: the GP code is only
+    # traced when True) or a TRACED bool (lax.cond selects at run time).
+    # Trainers pass a traced flag so penalty and no-penalty steps share ONE
+    # executable — as separate programs, alternating gen / discr-GP /
+    # discr-noGP executables thrashes the device program store (~3.3 s per
+    # GP step vs ~0.1 s resident) on this backend.
+    if isinstance(apply_grad_penalty, (bool, int)):
+        gp = (
+            gradient_penalty(discr, discr_vars, real_frame)
+            if apply_grad_penalty
+            else jnp.asarray(0.0)
+        )
+    else:
+        gp = jax.lax.cond(
+            apply_grad_penalty,
+            lambda: gradient_penalty(discr, discr_vars, real_frame),
+            lambda: jnp.asarray(0.0, jnp.float32),
+        )
 
     loss = discr_loss + gp
     return loss, dict(discr_loss=discr_loss, grad_penalty=gp, loss=loss)

@@ -99,17 +99,24 @@ def _spans_processes(mesh: Mesh) -> bool:
     )
 
 
-def _put(value: Any, sharding) -> jax.Array:
+def _put(value: Any, sharding, *, copy: bool = False) -> jax.Array:
     """device_put that also works when the sharding spans processes: each
     process supplies its addressable shards from the (host-identical) value
     via make_array_from_callback. Non-mesh shardings (e.g. SingleDevice from
-    a jitted init) are by construction process-local."""
+    a jitted init) are by construction process-local.
+
+    `copy=True` forbids aliasing the input buffer (may_alias=False) — used
+    for trainer state creation, whose jitted steps DONATE the state: an
+    aliased placement (device_put onto the same device is a no-op) would
+    let the first step delete the caller's arrays (e.g. Phenaki.params)."""
     mesh = getattr(sharding, "mesh", None)
     if mesh is not None and _spans_processes(mesh):
         arr = np.asarray(value)
         return jax.make_array_from_callback(
             arr.shape, sharding, lambda idx: arr[idx]
         )
+    if copy:
+        return jax.device_put(value, sharding, may_alias=False)
     return jax.device_put(value, sharding)
 
 
@@ -182,10 +189,13 @@ def _fixed_spec(spec: P, value: Any, tp_size: int) -> P:
 
 
 def shard_params(
-    params: Any, mesh: Mesh, tp_enabled: bool = True, fsdp: bool = False
+    params: Any, mesh: Mesh, tp_enabled: bool = True, fsdp: bool = False,
+    copy: bool = False,
 ) -> Any:
     """Place a param pytree on the mesh per the TP rules (replicated on dp
-    unless `fsdp`, which additionally shards each large param over 'dp')."""
+    unless `fsdp`, which additionally shards each large param over 'dp').
+    `copy=True` forces fresh buffers (required when the result will be
+    DONATED by a jitted train step — see _put)."""
     tp_size = mesh.shape[MODEL_AXIS]
     fsdp_size = mesh.shape[DATA_AXIS] if fsdp else 1
 
@@ -193,7 +203,10 @@ def shard_params(
         spec = param_partition_spec(
             path, value, tp_enabled and tp_size > 1, fsdp_size
         )
-        return _put(value, NamedSharding(mesh, _fixed_spec(spec, value, tp_size)))
+        return _put(
+            value, NamedSharding(mesh, _fixed_spec(spec, value, tp_size)),
+            copy=copy,
+        )
 
     return jax.tree_util.tree_map_with_path(place, params)
 
@@ -216,7 +229,7 @@ def partition_specs_for(
 
 def shard_like_params(
     tree: Any, params: Any, mesh: Mesh, tp_enabled: bool = True,
-    fsdp: bool = False,
+    fsdp: bool = False, copy: bool = False,
 ) -> Any:
     """Place a pytree derived from `params` (optimizer state, EMA) on the
     mesh: every subtree congruent with `params` (same treedef — Adam's
@@ -243,9 +256,10 @@ def shard_like_params(
     def place_node(node):
         if is_params_like(node):
             return jax.tree_util.tree_map(
-                lambda v, s: _put(v, NamedSharding(mesh, s)), node, specs
+                lambda v, s: _put(v, NamedSharding(mesh, s), copy=copy),
+                node, specs,
             )
-        return jax.tree_util.tree_map(lambda v: _put(v, repl), node)
+        return jax.tree_util.tree_map(lambda v: _put(v, repl, copy=copy), node)
 
     return jax.tree_util.tree_map(place_node, tree, is_leaf=is_params_like)
 
@@ -292,10 +306,10 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(place, batch)
 
 
-def replicate(tree: Any, mesh: Mesh) -> Any:
+def replicate(tree: Any, mesh: Mesh, copy: bool = False) -> Any:
     """Fully replicate a pytree across the mesh (multi-process safe)."""
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda x: _put(x, sharding), tree)
+    return jax.tree_util.tree_map(lambda x: _put(x, sharding, copy=copy), tree)
 
 
 def ensure_on_mesh(tree: Any, mesh: Mesh) -> Any:

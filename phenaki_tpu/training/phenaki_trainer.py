@@ -221,14 +221,15 @@ class PhenakiTrainer:
         # fsdp=True, large params additionally shard over 'dp' (ZeRO-3 —
         # params all-gathered on use, grads reduce-scattered, Adam moments
         # sharded); moments inherit the param shardings through jitted init
-        params = shard_params(phenaki.params, self.mesh, fsdp=fsdp)
+        params = shard_params(phenaki.params, self.mesh, fsdp=fsdp, copy=True)
         self.state = {
             "params": params,
             # jit(opt.init) does not propagate input shardings (zeros_like
             # broadcasts come back single-device) — place moments explicitly
             # to mirror the param tp/fsdp placements
             "opt_state": shard_like_params(
-                jax.jit(opt.init)(params), params, self.mesh, fsdp=fsdp
+                jax.jit(opt.init)(params), params, self.mesh, fsdp=fsdp,
+                copy=True,
             ),
             "step": replicate(jnp.zeros((), jnp.int32), self.mesh),
         }
@@ -249,9 +250,13 @@ class PhenakiTrainer:
             else np.float32
         )
 
+        # state donated: outputs alias inputs — no per-step state copy, and
+        # back-to-back dispatched steps can't accumulate in-flight states
+        # (see cvivit_trainer.py)
         self._train_step = jax.jit(
             self._make_train_step(),
             static_argnames=("only_train_generator", "only_train_critic", "fields"),
+            donate_argnums=(0,),
         )
 
     # ------------------------------------------------------------------ #
@@ -282,9 +287,15 @@ class PhenakiTrainer:
         model = self.model
         has_critic = model.critic is not None
         # pin updated params to their placement (tp/fsdp) — don't let the
-        # SPMD partitioner reshard the state between steps
-        param_shardings = jax.tree_util.tree_map(
-            lambda x: x.sharding, self.state["params"]
+        # SPMD partitioner reshard the state between steps. Only on real
+        # multi-device meshes: this backend lowers a single-device
+        # constraint to per-leaf device copies (see cvivit_trainer.py)
+        param_shardings = (
+            jax.tree_util.tree_map(
+                lambda x: x.sharding, self.state["params"]
+            )
+            if self.mesh.devices.size > 1
+            else None
         )
 
         def train_step(
@@ -329,9 +340,10 @@ class PhenakiTrainer:
                 grads, state["opt_state"], state["params"]
             )
             new_params = optax.apply_updates(state["params"], updates)
-            new_params = jax.lax.with_sharding_constraint(
-                new_params, param_shardings
-            )
+            if param_shardings is not None:
+                new_params = jax.lax.with_sharding_constraint(
+                    new_params, param_shardings
+                )
             new_state = {
                 "params": new_params,
                 "opt_state": new_opt_state,
