@@ -386,6 +386,42 @@ def main():
     )
     _emit("batched_sampling_videos_per_sec_b8", B_s / dt, "videos/s/chip")
 
+    # ------------------------------------------------------------------ #
+    # 7. serving throughput (PhenakiServer dynamic batching: concurrent   #
+    #    requests coalesced into bucket-8 launches)                       #
+    # ------------------------------------------------------------------ #
+    _stage("serving bench")
+    from phenaki_tpu.serving import PhenakiServer
+
+    server = PhenakiServer(
+        phenaki,
+        num_frames=num_frames,
+        cond_scale=5.0,
+        batch_buckets=(1, 8),  # programs already compiled by sections 1/6
+        max_delay_ms=40.0,
+        seed=0,
+    )
+    n_req = 24
+    reqs = np.random.RandomState(9).randn(n_req, 50, 768).astype(np.float32)
+    # warm the server path (bucket-1 program)
+    server.submit(text_embeds=reqs[0]).result(timeout=600)
+    t0 = time.perf_counter()
+    futures = [server.submit(text_embeds=reqs[i]) for i in range(n_req)]
+    for f in futures:
+        f.result(timeout=600)
+    dt_total = time.perf_counter() - t0
+    server.close()
+    _emit(
+        "serving_throughput_videos_per_sec",
+        n_req / dt_total,
+        "videos/s/chip",
+    )
+    _emit(
+        "serving_throughput_frames_per_sec",
+        n_req * num_frames / dt_total,
+        "frames/s/chip",
+        vs_baseline=(n_req * num_frames / dt_total) / target,
+    )
     _stage("full bench done")
 
 
