@@ -123,3 +123,45 @@ def test_http_front_end(tiny_phenaki):
     finally:
         t.join(timeout=10)
         server.close()
+
+
+def test_uint8_output_matches_quantized_float(tiny_phenaki):
+    from phenaki_tpu.serving import PhenakiServer as PS
+
+    emb = np.random.RandomState(5).randn(3, TEXT_DIM).astype(np.float32)
+    s_u8 = PS(tiny_phenaki, num_frames=3, cond_scale=2.0, batch_buckets=(1,),
+              max_delay_ms=1.0, seed=7, output_dtype="uint8")
+    s_f32 = PS(tiny_phenaki, num_frames=3, cond_scale=2.0, batch_buckets=(1,),
+               max_delay_ms=1.0, seed=7, output_dtype="float32")
+    try:
+        v_u8 = s_u8.submit(text_embeds=emb).result(timeout=300)
+        v_f32 = s_f32.submit(text_embeds=emb).result(timeout=300)
+        assert v_u8.dtype == np.uint8 and v_f32.dtype == np.float32
+        expected = np.clip(v_f32 * 255.0, 0, 255).astype(np.uint8)
+        # same seed + same request order -> same video; uint8 is the exact
+        # on-device quantization of the float output
+        np.testing.assert_array_equal(v_u8, expected)
+    finally:
+        s_u8.close()
+        s_f32.close()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_server_with_mesh_sharded_sampling(tiny_phenaki):
+    from phenaki_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices()[:4], tp=1)
+    server = PhenakiServer(
+        tiny_phenaki, num_frames=3, cond_scale=2.0, batch_buckets=(4,),
+        max_delay_ms=300.0, mesh=mesh,
+    )
+    try:
+        embeds = np.random.RandomState(6).randn(4, 3, TEXT_DIM).astype(np.float32)
+        futures = [server.submit(text_embeds=embeds[i]) for i in range(4)]
+        videos = [f.result(timeout=300) for f in futures]
+        assert all(v.shape == (3, 16, 16, 3) for v in videos)
+        assert any(n == 4 for n, _ in server.launch_log), (
+            "4 requests should coalesce into one mesh-sharded launch"
+        )
+    finally:
+        server.close()
