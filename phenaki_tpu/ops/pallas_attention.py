@@ -41,6 +41,9 @@ NEG_INF = -1e30
 
 _INTERPRET = False  # flipped by tests / CPU fallback
 
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
+
 
 _BLOCK_Q_CANDIDATES = (512, 384, 256, 128)
 _BLOCK_K_CANDIDATES = (512, 384, 256, 128)
@@ -74,16 +77,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _flash_kernel(
+    c2_ref,  # (1, 1) f32 in SMEM: softmax shift in log2 units (score bound)
     q_ref,  # (1, 1, bq, d)
     k_ref,  # (1, 1, bk, d)
-    v_ref,  # (1, 1, bk, d)
+    vaug_ref,  # (1, 1, bk, d_aug) — [v | 1 | 0...] (ones column at index d)
     bias_ref,  # (1, bq, bk) or None
     kmask_ref,  # (1, bk) additive f32 or None
-    out_ref,  # (1, 1, bq, d)
-    lse_ref,  # (1, 1, bq, 1) f32
-    m_scr,  # (bq, 1) f32
-    l_scr,  # (bq, 1) f32
-    acc_scr,  # (bq, d) f32
+    out_ref,  # (1, 1, bq, d_aug) f32 — [sum p*v | sum p | junk]
+    acc_scr,  # (bq, d_aug) f32
     *,
     scale: float,
     causal: bool,
@@ -92,17 +93,28 @@ def _flash_kernel(
     block_q: int,
     block_k: int,
 ):
+    """Bounded-shift flash forward. QK-norm cosine attention has BOUNDED
+    scores (q, k are L2-normalized per dim before the learned scales), so
+    instead of tracking a running row max the wrapper precomputes one global
+    upper bound c2 >= max score (Cauchy-Schwarz: scale*max||q_i||*max||k_j||,
+    a few-us reduction) and the kernel uses p = 2^(s*log2e - c2) directly.
+    Per k block the VPU does ONLY elementwise work (bias/kmask adds, one fma,
+    one exp2) — no max or sum lane-reductions, no accumulator rescale. The
+    softmax denominator is the MXU's job: v is augmented with a ones column,
+    so `p @ v_aug` yields [p@v | sum(p)] in one dot (free for d < 128: the PV
+    matmul already pads its output lanes to 128). Normalization happens
+    outside the kernel. Numerics: p <= 1 by construction; underflow needs a
+    row max more than ~85 ln2 below the bound, unreachable for cosine scores
+    (the gap is at most 2*scale*||q_scale||*||k_scale|| plus the bias range)."""
     ki = pl.program_id(3)
 
     @pl.when(ki == 0)
     def _init():
-        m_scr[...] = jnp.full((block_q, 1), NEG_INF, jnp.float32)
-        l_scr[...] = jnp.zeros((block_q, 1), jnp.float32)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0, 0]
     k = k_ref[0, 0]
-    v = v_ref[0, 0]
+    vaug = vaug_ref[0, 0]
 
     # NOTE: `scale` is pre-folded into q by _flash_forward (one multiply over
     # (i, d) instead of one per (i, j) score element per k block)
@@ -119,6 +131,9 @@ def _flash_kernel(
     if kmask_ref is not None:
         s = s + kmask_ref[0].astype(jnp.float32)  # (1, bk) broadcasts over rows
 
+    # p = exp(s - c2*ln2) = 2^(s*log2e - c2): one fma + one exp2 on the VPU
+    p = jnp.exp2(s * LOG2E - c2_ref[0, 0])
+
     if causal:
         qi = pl.program_id(2)
         row = (
@@ -127,36 +142,18 @@ def _flash_kernel(
             + q_offset
         )
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + ki * block_k
-        s = jnp.where(col <= row, s, NEG_INF)
+        p = jnp.where(col <= row, p, 0.0)
 
-    m_prev = m_scr[...]  # (bq, 1)
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-
-    p = jnp.exp(s - m_new)  # (bq, bk) f32
-    alpha = jnp.exp(m_prev - m_new)  # (bq, 1)
-
-    l_new = alpha * l_scr[...] + jnp.sum(p, axis=-1, keepdims=True)
-
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype),
-        v,
+    acc_scr[:] += jax.lax.dot_general(
+        p.astype(vaug.dtype),
+        vaug,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    acc_scr[:] = acc_scr[:] * alpha + pv
-
-    m_scr[...] = m_new
-    l_scr[...] = l_new
 
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
-        l = jnp.maximum(l_scr[...], 1e-30)
-        out = acc_scr[:] / l
-        out_ref[0, 0] = out.astype(out_ref.dtype)
-        # log-sum-exp per query row, saved for the backward kernels:
-        # softmax prob = exp(s - lse)
-        lse_ref[0, 0] = (m_scr[...] + jnp.log(l)).astype(jnp.float32)
+        out_ref[0, 0] = acc_scr[:]
 
 
 def _pad_attention_inputs(q, k, v, bias, kmask_add):
@@ -257,12 +254,37 @@ def _flash_forward(
     # so this is exact even in bf16); backward kernels apply scale themselves
     q = q * jnp.asarray(scale, q.dtype)
 
+    # global score upper bound (Cauchy-Schwarz over the padded q/k, which only
+    # adds zero rows): the kernel's softmax shift. Tiny reduction, fused by XLA.
+    qn = jnp.sqrt(jnp.max(jnp.sum(q.astype(jnp.float32) ** 2, axis=-1)))
+    kn = jnp.sqrt(jnp.max(jnp.sum(k.astype(jnp.float32) ** 2, axis=-1)))
+    c2 = (qn * kn * LOG2E).reshape(1, 1)
+
+    # v augmented with a ones column so sum(p) rides the PV matmul (MXU); the
+    # remaining columns up to the 128-lane boundary are zero
+    d_aug = _round_up(d + 1, 128)
+    vaug = jnp.concatenate(
+        [
+            v,
+            jnp.ones((b, h, j_pad, 1), v.dtype),
+            jnp.zeros((b, h, j_pad, d_aug - d - 1), v.dtype),
+        ],
+        axis=-1,
+    )
+
     num_q_blocks = i_pad // block_q
     num_k_blocks = j_pad // block_k
     grid = (b, h, num_q_blocks, num_k_blocks)
 
-    in_specs = [_spec_q(block_q, d, 0), _spec_k(block_k, d, 1), _spec_k(block_k, d, 1)]
-    operands = [q, k, v]
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1), lambda bb, hh, x2, x3: (0, 0), memory_space=pltpu.SMEM
+        ),
+        _spec_q(block_q, d, 0),
+        _spec_k(block_k, d, 1),
+        _spec_k(block_k, d_aug, 1),
+    ]
+    operands = [c2, q, k, vaug]
     if bias is not None:
         in_specs.append(_spec_bias(block_q, block_k, 0, 1))
         operands.append(bias)
@@ -288,19 +310,14 @@ def _flash_forward(
         + 2 * k.size * k.dtype.itemsize
         + (bias.size * bias.dtype.itemsize if bias is not None else 0)
     )
-    out, lse = pl.pallas_call(
+    raw = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((b, h, i_pad, d), out_dtype),
-            jax.ShapeDtypeStruct((b, h, i_pad, 1), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, i_pad, d_aug), jnp.float32),
         grid=grid,
         in_specs=in_specs,
-        out_specs=(_spec_q(block_q, d, 0), _spec_rowvec(block_q, 0)),
+        out_specs=_spec_q(block_q, d_aug, 0),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, d_aug), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -311,30 +328,35 @@ def _flash_forward(
         interpret=_INTERPRET,
     )(*operands)
 
+    # normalize outside the kernel: out = (sum p*v) / (sum p); lse recovers
+    # the natural-log-sum-exp the backward kernels expect
+    l = jnp.maximum(raw[..., d : d + 1], 1e-37)
+    out = (raw[..., :d] / l).astype(out_dtype)
+
     if i_pad != i:
         out = out[:, :, :i]
     if return_lse:
+        lse = jnp.log(l) + c2[0, 0] * LN2
         return out, lse  # lse stays PADDED (backward kernels run padded)
     return out
 
 
 def _flash_kernel_dispatch(*refs, has_bias, has_kmask, **kw):
     """Unpack the optional bias/kmask refs by position."""
-    idx = 3
+    idx = 4
     bias_ref = None
     kmask_ref = None
     args = list(refs)
-    q_ref, k_ref, v_ref = args[:3]
+    c2_ref, q_ref, k_ref, v_ref = args[:4]
     if has_bias:
         bias_ref = args[idx]
         idx += 1
     if has_kmask:
         kmask_ref = args[idx]
         idx += 1
-    out_ref, lse_ref, m_scr, l_scr, acc_scr = args[idx : idx + 5]
+    out_ref, acc_scr = args[idx : idx + 2]
     _flash_kernel(
-        q_ref, k_ref, v_ref, bias_ref, kmask_ref, out_ref, lse_ref,
-        m_scr, l_scr, acc_scr, **kw
+        c2_ref, q_ref, k_ref, v_ref, bias_ref, kmask_ref, out_ref, acc_scr, **kw
     )
 
 
@@ -389,7 +411,8 @@ def _recompute_p(
         )
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + ki * block_k
         s = jnp.where(col <= row, s, NEG_INF)
-    return jnp.exp(s - lse_ref[0, 0])  # (bq, bk); lse block is (bq, 1)
+    # exp(s - lse) as one fma + exp2 (cheaper than exp on the VPU)
+    return jnp.exp2(s * LOG2E - lse_ref[0, 0] * LOG2E)  # (bq, bk); lse (bq, 1)
 
 
 def _bwd_dq_kernel(*refs, has_bias, has_kmask, scale, causal, q_offset,
