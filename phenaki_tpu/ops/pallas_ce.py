@@ -52,20 +52,66 @@ _INTERPRET = False  # flipped by tests on CPU
 _MAX_ROWS_FWD = 1024
 _ROW_BLOCK_BWD = 512
 
+# VMEM headroom for one grid step's working set (live blocks + the f32
+# logits temporary + double-buffering of the streamed W block). Conservative
+# slice of the ~16 MB per-core VMEM so Mosaic keeps pipelining room.
+_CE_VMEM_BUDGET = 10 * 1024 * 1024
+
+# One W-block stream from HBM costs about as much wall clock as this many
+# rows of logits compute: itemsize * peak_flops / (2 * hbm_bw)
+# ~= 2 B * 197e12 / (2 * 819e9) ~= 240 on v5e. Used to weigh "more row
+# blocks => more passes over W" against "bigger blocks => more padded rows".
+_W_STREAM_ROW_COST = 256
+
+
+def _ce_vmem_bytes(d: int, r_blk: int, vb: int, itemsize: int = 2) -> int:
+    """Per-grid-step VMEM estimate for the CE kernels (forward is the floor;
+    backward adds dW/dh scratch of similar order)."""
+    h_blk = r_blk * d * itemsize
+    w_blk = 2 * d * vb * itemsize  # double-buffered stream
+    logits = r_blk * vb * 4  # f32 temporary
+    scratch = 4 * r_blk * 4 + d * vb * 4  # row stats + dW accumulator (bwd)
+    return h_blk + w_blk + logits + scratch
+
+
+def _shrink_blocks(d: int, r_blk: int, vb: int):
+    """Halve r_blk (then vb) until the working set fits the VMEM budget.
+    Returns (r_blk, vb) or None if nothing fits (caller falls back to XLA)."""
+    while _ce_vmem_bytes(d, r_blk, vb) > _CE_VMEM_BUDGET:
+        if r_blk > 64:
+            r_blk //= 2
+        elif vb > 512:
+            vb //= 2
+        else:
+            return None
+    return r_blk, vb
+
 
 def can_fuse_ce(d: int, v: int) -> bool:
-    """Same shape gate as the fused sampler: clean lane tiling + divisible vocab."""
-    return d % 128 == 0 and (v % 1024 == 0 or v % 512 == 0) and v >= 512
+    """Shape gate: clean lane tiling, divisible vocab, AND a (r_blk, vb)
+    choice whose working set fits the VMEM budget (ADVICE r2: large d would
+    otherwise fail on-chip with no XLA fallback)."""
+    if not (d % 128 == 0 and (v % 1024 == 0 or v % 512 == 0) and v >= 512):
+        return False
+    vb = 1024 if v % 1024 == 0 else 512
+    return _shrink_blocks(d, _MAX_ROWS_FWD, vb) is not None
 
 
 def _row_block(rows: int, cap: int) -> int:
+    """Pick the row-block size minimizing padded_compute + W-streaming cost.
+
+    Scoring only by padded rows (ADVICE r2) picks tiny blocks for awkward
+    row counts (rows=1025 -> r=8), which streams the full (d, V) weight
+    matrix rows/8 times through VMEM — a large HBM-traffic cliff. Weigh each
+    extra row block by the W-stream cost in row-equivalents instead."""
     best = (None, None)
     for r in (1024, 896, 768, 640, 576, 512, 448, 384, 320, 256, 192, 128, 64, 32, 16, 8):
         if r > cap:
             continue
-        total = -(-rows // r) * r
-        if best[0] is None or total < best[0]:
-            best = (total, r)
+        num_blocks = -(-rows // r)
+        score = num_blocks * r + _W_STREAM_ROW_COST * num_blocks
+        if best[0] is None or score < best[0]:
+            best = (score, r)
     return best[1]
 
 
@@ -301,7 +347,15 @@ def _prep(h, w, bias, labels):
     v = w.shape[1]
     rows = b * n
     vb = 1024 if v % 1024 == 0 else 512
-    r_blk = _row_block(rows, _MAX_ROWS_FWD)
+    # shrink the row cap / vocab block until the working set fits VMEM
+    # (can_fuse_ce guarantees some choice fits)
+    shrunk = _shrink_blocks(d, _MAX_ROWS_FWD, vb)
+    assert shrunk is not None, (
+        f"fused CE working set does not fit VMEM for d={d}; gate calls with"
+        " can_fuse_ce()"
+    )
+    cap, vb = shrunk
+    r_blk = _row_block(rows, cap)
     total = -(-rows // r_blk) * r_blk
     h2d = h.reshape(rows, d)
     lab2d = labels.reshape(rows, 1).astype(jnp.int32)

@@ -196,13 +196,24 @@ _PROJ_MAX_ROWS = 1024
 _PROJ_VMEM_BUDGET = 12 * 1024 * 1024
 
 
+# one W-block stream from HBM ~= this many rows of compute (see
+# pallas_ce._W_STREAM_ROW_COST); weighs extra passes over W against padding
+_W_STREAM_ROW_COST = 256
+
+
 def _row_block(rows: int) -> int:
-    """Largest block <= _PROJ_MAX_ROWS minimizing padded rows (ties: larger)."""
+    """Block <= _PROJ_MAX_ROWS minimizing padded compute + W-stream passes.
+
+    Minimizing padded rows alone picks tiny blocks for awkward row counts
+    (rows=1025 -> r=8), which re-streams the whole (d, V) weight matrix once
+    per block — an HBM cliff (ADVICE r2). Each extra block is costed at
+    _W_STREAM_ROW_COST row-equivalents."""
     best = (None, None)
     for r in (1024, 896, 768, 640, 576, 512, 448, 384, 320, 256, 192, 128, 64, 32, 16, 8):
-        total = -(-rows // r) * r
-        if best[0] is None or total < best[0]:
-            best = (total, r)
+        num_blocks = -(-rows // r)
+        score = num_blocks * r + _W_STREAM_ROW_COST * num_blocks
+        if best[0] is None or score < best[0]:
+            best = (score, r)
     return best[1]
 
 
