@@ -45,6 +45,11 @@ class MaskGit(nn.Module):
     # self-attn K/V from the pre-norm input — set True when loading
     # converted reference checkpoints (phenaki_tpu/convert.py)
     reference_attention_kv: bool = False
+    # sequence parallelism: self-attention over the (t*h*w) token sequence
+    # runs as ring attention over this mesh axis (long scenes whose token
+    # count outgrows one chip; see ops/attention.py seq_shard_mesh)
+    seq_shard_mesh: Optional[object] = None
+    seq_shard_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -72,6 +77,8 @@ class MaskGit(nn.Module):
             remat=self.remat,
             scan_layers=self.scan_layers,
             attn_reference_self_kv=self.reference_attention_kv,
+            seq_shard_mesh=self.seq_shard_mesh,
+            seq_shard_axis=self.seq_shard_axis,
             dtype=self.dtype,
         )
         self.to_logits = nn.Dense(self.num_tokens, dtype=self.dtype)
@@ -94,6 +101,8 @@ class MaskGit(nn.Module):
         attn_bias: Optional[jax.Array] = None,  # precomputed rel_pos_bias
         return_embeds: bool = False,
         deterministic: bool = True,
+        pipeline_mesh=None,  # jax.sharding.Mesh with a 'pp' axis, or None
+        pipeline_microbatches: Optional[int] = None,
     ) -> jax.Array:
         assert x.ndim in (2, 4), "token ids must be (b, n) or (b, t, h, w)"
         if x.ndim == 4:
@@ -133,15 +142,40 @@ class MaskGit(nn.Module):
         a = self.gradient_shrink_alpha
         h = h * a + jax.lax.stop_gradient(h) * (1 - a)
 
-        h = self.transformer(
-            h,
-            video_shape=video_shape,
-            attn_bias=rel_pos_bias,
-            context=context,
-            self_attn_mask=video_mask,
-            cross_attn_context_mask=text_mask,
-            deterministic=deterministic,
-        )
+        if pipeline_mesh is not None and not self.is_initializing():
+            # GPipe pipeline over the trunk layers (parallel/pipeline.py):
+            # the stacked scan_layers params are sharded over the mesh 'pp'
+            # axis; math matches the sequential stack (dropout stream
+            # differs by construction — see pipeline module docstring)
+            from phenaki_tpu.parallel.pipeline import pipeline_transformer_apply
+
+            drop_rng = None
+            if not deterministic:
+                drop_rng = self.make_rng("dropout")
+            h = pipeline_transformer_apply(
+                self.transformer,
+                self.variables["params"]["transformer"],
+                h,
+                pipeline_mesh,
+                num_microbatches=pipeline_microbatches,
+                video_shape=video_shape,
+                attn_bias=rel_pos_bias,
+                context=context,
+                self_attn_mask=video_mask,
+                cross_attn_context_mask=text_mask,
+                deterministic=deterministic,
+                dropout_rng=drop_rng,
+            )
+        else:
+            h = self.transformer(
+                h,
+                video_shape=video_shape,
+                attn_bias=rel_pos_bias,
+                context=context,
+                self_attn_mask=video_mask,
+                cross_attn_context_mask=text_mask,
+                deterministic=deterministic,
+            )
 
         if return_embeds:
             return h
@@ -279,6 +313,8 @@ class TokenCritic(nn.Module):
         video_mask: Optional[jax.Array] = None,
         context: Optional[jax.Array] = None,
         deterministic: bool = True,
+        pipeline_mesh=None,  # jax.sharding.Mesh with a 'pp' axis, or None
+        pipeline_microbatches: Optional[int] = None,
     ) -> jax.Array:
         if x.ndim == 4:
             video_patch_shape = x.shape[1:]
@@ -302,14 +338,35 @@ class TokenCritic(nn.Module):
         h = self.token_emb(x)
         h = h + self.pos_emb(jnp.arange(n))[None]
 
-        h = self.transformer(
-            h,
-            video_shape=video_shape,
-            context=context,
-            self_attn_mask=video_mask,
-            cross_attn_context_mask=text_mask,
-            deterministic=deterministic,
-        )
+        if pipeline_mesh is not None and not self.is_initializing():
+            from phenaki_tpu.parallel.pipeline import pipeline_transformer_apply
+
+            drop_rng = None
+            if not deterministic:
+                drop_rng = self.make_rng("dropout")
+            h = pipeline_transformer_apply(
+                self.transformer,
+                self.variables["params"]["transformer"],
+                h,
+                pipeline_mesh,
+                num_microbatches=pipeline_microbatches,
+                video_shape=video_shape,
+                attn_bias=None,
+                context=context,
+                self_attn_mask=video_mask,
+                cross_attn_context_mask=text_mask,
+                deterministic=deterministic,
+                dropout_rng=drop_rng,
+            )
+        else:
+            h = self.transformer(
+                h,
+                video_shape=video_shape,
+                context=context,
+                self_attn_mask=video_mask,
+                cross_attn_context_mask=text_mask,
+                deterministic=deterministic,
+            )
         return self.to_logits(h)[..., 0]
 
     def forward_with_cond_scale(

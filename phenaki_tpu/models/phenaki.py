@@ -60,7 +60,6 @@ class Phenaki:
         critic: Optional[TokenCritic] = None,
         steps: int = 18,  # 18 is the ideal steps with token critic
         t5_name: str = DEFAULT_T5_NAME,
-        sample_temperature: float = 0.0,
         text_embed_dim: Optional[int] = None,
         cond_drop_prob: float = 0.25,
         max_text_len: int = 128,
@@ -90,8 +89,11 @@ class Phenaki:
         self.critic_noise_anneal_schedule = critic_noise_anneal_schedule
         self.critic_train_sample_temperature = critic_train_sample_temperature
 
+        # NOTE: the reference also stores a `sample_temperature` constructor
+        # knob that nothing reads (phenaki_pytorch.py:352,379 — sample() takes
+        # its own temperature). Dead knob dropped here; use
+        # sample(starting_temperature=...).
         self.steps = steps
-        self.sample_temperature = sample_temperature
 
         self.t5_name = t5_name
         self.text_embed_dim = (
@@ -104,6 +106,12 @@ class Phenaki:
 
         self.params: Optional[Dict[str, Any]] = None  # set by init()/trainers
         self._sample_cache: Dict[Tuple, Any] = {}
+
+        # GPipe pipeline parallelism over the maskgit/critic trunks: set by
+        # PhenakiTrainer (pp knob) or directly — a Mesh with a 'pp' axis.
+        # None = sequential scan stack (parallel/pipeline.py)
+        self.pipeline_mesh = None
+        self.pipeline_microbatches: Optional[int] = None
 
     # ------------------------------------------------------------------ #
     # parameter init                                                      #
@@ -297,6 +305,11 @@ class Phenaki:
             deterministic=not train,
             rngs={"cond_drop": rng_mg_drop, "dropout": rng_mg_dropout},
         )
+        if self.pipeline_mesh is not None:
+            mg_kwargs.update(
+                pipeline_mesh=self.pipeline_mesh,
+                pipeline_microbatches=self.pipeline_microbatches,
+            )
 
         # On TPU the 65536-way CE is fused with the vocab projection
         # (ops/pallas_ce.py): the forward returns EMBEDDINGS and the
@@ -361,15 +374,30 @@ class Phenaki:
             if (self.self_token_critic or self.critic.has_cross_attn)
             else None
         )
-        critic_logits = self.critic.apply(
-            critic_vars,
-            critic_input,
+        critic_kwargs = dict(
             video_mask=video_mask,
             cond_drop_prob=drop_prob if train else 0.0,
             text_mask=text_mask if critic_ctx is not None else None,
             context=critic_ctx,
             deterministic=not train,
             rngs={"cond_drop": rng_cr_drop, "dropout": rng_cr_dropout},
+        )
+        # the critic trunk pipelines only when its own layer stack is
+        # compatible (scan_layers, depth divisible by pp); otherwise it runs
+        # sequentially with replicated params (the mesh sharding rule skips
+        # indivisible depths too, so placement stays consistent)
+        critic_mg = self.critic.maskgit if self.self_token_critic else self.critic
+        if (
+            self.pipeline_mesh is not None
+            and critic_mg.scan_layers
+            and critic_mg.depth % self.pipeline_mesh.shape["pp"] == 0
+        ):
+            critic_kwargs.update(
+                pipeline_mesh=self.pipeline_mesh,
+                pipeline_microbatches=self.pipeline_microbatches,
+            )
+        critic_logits = self.critic.apply(
+            critic_vars, critic_input, **critic_kwargs
         ).astype(jnp.float32)
 
         critic_labels = (ids != pred_ids).astype(jnp.float32)

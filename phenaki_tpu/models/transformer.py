@@ -51,6 +51,10 @@ class TransformerLayer(nn.Module):
     # self-attn K/V from the pre-norm input (reference parity; see
     # ops/attention.py Attention.reference_self_kv)
     attn_reference_self_kv: bool = False
+    # sequence parallelism: ring attention for SELF-attention over this mesh
+    # axis (see ops/attention.py Attention.seq_shard_mesh)
+    seq_shard_mesh: Optional[object] = None
+    seq_shard_axis: Optional[str] = None
     # static over the scan; the (b, t, h, w) grid for PEG
     video_shape: Optional[Tuple[int, int, int, int]] = None
     deterministic: bool = True
@@ -94,6 +98,8 @@ class TransformerLayer(nn.Module):
                 causal=self.causal,
                 dropout=self.attn_dropout,
                 reference_self_kv=self.attn_reference_self_kv,
+                seq_shard_mesh=self.seq_shard_mesh,
+                seq_shard_axis=self.seq_shard_axis,
                 dtype=self.dtype,
                 name="self_attn",
             )(x, self_attn_mask, None, attn_bias, self.deterministic)
@@ -146,6 +152,11 @@ class Transformer(nn.Module):
     ff_dropout: float = 0.0
     # self-attn K/V from the pre-norm input (reference-checkpoint parity)
     attn_reference_self_kv: bool = False
+    # sequence parallelism: self-attention runs as ring attention with q/k/v
+    # sharded on the sequence over this mesh axis (long scenes — the token
+    # sequence never lives whole on one chip). See ops/attention.py.
+    seq_shard_mesh: Optional[object] = None
+    seq_shard_axis: Optional[str] = None
     # rematerialize attention/FF activations in the backward pass — trades
     # ~30% more FLOPs for O(depth) less activation HBM (jax.checkpoint;
     # the reference has no equivalent, large configs rely on it on TPU)
@@ -172,6 +183,8 @@ class Transformer(nn.Module):
             ff_dropout=self.ff_dropout,
             remat=self.remat,
             attn_reference_self_kv=self.attn_reference_self_kv,
+            seq_shard_mesh=self.seq_shard_mesh,
+            seq_shard_axis=self.seq_shard_axis,
             video_shape=video_shape,
             deterministic=deterministic,
             dtype=self.dtype,

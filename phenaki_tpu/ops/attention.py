@@ -10,7 +10,7 @@ swapped in behind the same interface (see phenaki_tpu/ops/pallas_attention.py).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -143,6 +143,15 @@ class Attention(nn.Module):
     # gradient penalty / adaptive-weight losses): the kernel's custom_vjp
     # supports first-order reverse-mode only.
     use_flash: bool = True
+    # sequence parallelism (parallel/ring_attention.py): when a mesh and an
+    # axis name are set, SELF-attention over sequences divisible by the axis
+    # runs ring attention under shard_map — q/k/v sharded on the sequence
+    # axis, K/V shards rotating over the ICI ring, so one chip never holds
+    # the full sequence. Long-scene extension beyond the reference (which
+    # only chains scenes, SURVEY.md §5.7). Does not compose with the GPipe
+    # pipeline (both are shard_maps); cross-attention stays dense.
+    seq_shard_mesh: Optional[Any] = None  # jax.sharding.Mesh
+    seq_shard_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -217,6 +226,43 @@ class Attention(nn.Module):
         dropout_rng = None
         if self.dropout > 0.0 and not deterministic:
             dropout_rng = self.make_rng("dropout")
+
+        # sequence-sharded (ring) self-attention when configured and the
+        # shapes allow it; anything else falls through to the dense/flash core
+        if (
+            self.seq_shard_mesh is not None
+            and self.seq_shard_axis is not None
+            and context is None
+            and self.num_null_kv == 0
+            and dropout_rng is None
+            and not self.is_initializing()
+            and self.seq_shard_mesh.shape.get(self.seq_shard_axis, 1) > 1
+            and q.shape[2] % self.seq_shard_mesh.shape[self.seq_shard_axis] == 0
+        ):
+            from phenaki_tpu.parallel.ring_attention import (
+                sequence_sharded_attention,
+            )
+
+            n_q = q.shape[2]
+            ring_bias = attn_bias
+            if self.causal:
+                ab = alibi_bias(self.heads, n_q, n_q)
+                ring_bias = ab if ring_bias is None else ring_bias + ab
+            out = sequence_sharded_attention(
+                q,
+                k,
+                v,
+                self.seq_shard_mesh,
+                axis_name=self.seq_shard_axis,
+                scale=self.scale,
+                attn_bias=ring_bias,
+                key_mask=mask,
+                causal=self.causal,
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(batch, -1, inner_dim)
+            return nn.Dense(
+                self.dim, use_bias=False, dtype=self.dtype, name="to_out"
+            )(out)
 
         out = qk_norm_attention(
             q,

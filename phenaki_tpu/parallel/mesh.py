@@ -29,20 +29,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "dp"
 MODEL_AXIS = "tp"
+PIPE_AXIS = "pp"
 
 
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     dp: Optional[int] = None,
     tp: int = 1,
+    pp: int = 1,
 ) -> Mesh:
-    """Build a ('dp', 'tp') mesh. Default: all devices on 'dp'."""
+    """Build a ('dp', 'tp') mesh — or ('dp', 'tp', 'pp') when `pp > 1`
+    (transformer layers sharded over 'pp', GPipe schedule: parallel/pipeline).
+    Default: all devices on 'dp'."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        assert n % tp == 0
-        dp = n // tp
-    assert dp * tp == n, f"dp({dp}) * tp({tp}) != device count ({n})"
+        assert n % (tp * pp) == 0
+        dp = n // (tp * pp)
+    assert dp * tp * pp == n, (
+        f"dp({dp}) * tp({tp}) * pp({pp}) != device count ({n})"
+    )
+    if pp > 1:
+        arr = np.asarray(devices).reshape(dp, tp, pp)
+        return Mesh(arr, (DATA_AXIS, MODEL_AXIS, PIPE_AXIS))
     arr = np.asarray(devices).reshape(dp, tp)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
@@ -126,7 +135,8 @@ _FSDP_MIN_SIZE = 2**16
 
 
 def param_partition_spec(
-    path: Tuple, value: Any, tp_enabled: bool = True, fsdp_size: int = 1
+    path: Tuple, value: Any, tp_enabled: bool = True, fsdp_size: int = 1,
+    pp_size: int = 1,
 ) -> P:
     """PartitionSpec for one param, from its pytree path.
 
@@ -158,6 +168,20 @@ def param_partition_spec(
                     tp_spec = P(None, *tp_spec)
                 spec = tp_spec  # divisibility checked by callers at shard time
                 break
+
+    # pipeline parallelism: stacked per-layer params shard their depth axis
+    # (dim 0) over 'pp' — each stage owns depth/pp contiguous layers
+    # (parallel/pipeline.py GPipe schedule)
+    if (
+        pp_size > 1
+        and "layers_scan" in joined
+        and np.ndim(value) >= 1
+        and value.shape[0] % pp_size == 0
+    ):
+        entries = list(spec) + [None] * (np.ndim(value) - len(spec))
+        if entries[0] is None:
+            entries[0] = PIPE_AXIS
+            spec = P(*entries)
 
     if fsdp_size > 1 and np.ndim(value) >= 1 and np.size(value) >= _FSDP_MIN_SIZE:
         entries = list(spec) + [None] * (np.ndim(value) - len(spec))
@@ -198,10 +222,11 @@ def shard_params(
     DONATED by a jitted train step — see _put)."""
     tp_size = mesh.shape[MODEL_AXIS]
     fsdp_size = mesh.shape[DATA_AXIS] if fsdp else 1
+    pp_size = mesh.shape.get(PIPE_AXIS, 1)
 
     def place(path, value):
         spec = param_partition_spec(
-            path, value, tp_enabled and tp_size > 1, fsdp_size
+            path, value, tp_enabled and tp_size > 1, fsdp_size, pp_size
         )
         return _put(
             value, NamedSharding(mesh, _fixed_spec(spec, value, tp_size)),
@@ -217,10 +242,11 @@ def partition_specs_for(
     """Pytree of PartitionSpecs mirroring `shard_params` placement."""
     tp_size = mesh.shape[MODEL_AXIS]
     fsdp_size = mesh.shape[DATA_AXIS] if fsdp else 1
+    pp_size = mesh.shape.get(PIPE_AXIS, 1)
 
     def spec_of(path, value):
         spec = param_partition_spec(
-            path, value, tp_enabled and tp_size > 1, fsdp_size
+            path, value, tp_enabled and tp_size > 1, fsdp_size, pp_size
         )
         return _fixed_spec(spec, value, tp_size)
 
@@ -329,6 +355,19 @@ def ensure_on_mesh(tree: Any, mesh: Mesh) -> Any:
         return _put(x, repl)
 
     return jax.tree_util.tree_map(fix, tree)
+
+
+def fully_addressable(tree: Any) -> bool:
+    """True when every jax.Array leaf is fully addressable from this process
+    (single-host, or replicated). Cross-host-sharded (fsdp multi-host) state
+    cannot be jax.device_get on one process — callers use this to gate
+    host-side consumers (sample artifacts, eval copies)."""
+    ok = True
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            ok = False
+            break
+    return ok
 
 
 def place_like(template: Any, values: Any) -> Any:

@@ -20,14 +20,21 @@ TPU-native design — no send/recv runtime, no schedule interpreter:
     pipeline without writing one.
 
 Bubble fraction is (S-1)/(M+S-1) for S stages and M microbatches — choose
-M >= S. Warmup/drain ticks compute on garbage activations and their
-outputs are discarded (the standard GPipe trade: wasted FLOPs for a
-one-collective schedule).
+M >= S. Warmup/drain ticks where a stage holds no real microbatch are
+SKIPPED via `lax.cond` (no FLOPs burned on garbage activations; the stage
+idles for the tick, which is the GPipe bubble either way).
 
-Dropout is not supported inside the pipelined stack (deterministic only):
-per-layer rng threading through the tick loop would change the rng stream
-vs the reference layout. Training still differentiates (PEG/attention/FF
-params all live inside).
+Dropout: supported via an explicit `dropout_rng`. Each (microbatch, global
+layer) pair gets `fold_in(fold_in(rng, microbatch), layer)` — a
+well-defined, reproducible stream that is stage-count-invariant (the same
+pp=1/pp=4 run draws identical noise), though intentionally NOT the same
+stream as the sequential `nn.scan` path (which splits rngs differently).
+
+Data parallelism composes: when the mesh also has a 'dp' axis (> 1), the
+microbatch axis is sharded over it — each dp row runs an INDEPENDENT
+pipeline over its m/dp local microbatches (batch m%(dp*?) constraint:
+num_microbatches must divide by dp). Gradient all-reduce over dp happens
+outside, in the optimizer step, exactly as for plain dp.
 """
 
 from __future__ import annotations
@@ -82,33 +89,55 @@ def pipeline_transformer_apply(
     context: Optional[jax.Array] = None,
     self_attn_mask: Optional[jax.Array] = None,
     cross_attn_context_mask: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Pipelined equivalent of `transformer.apply` for scan-layers params.
 
     Bitwise-equivalent math to the sequential stack (same layer body module,
     same order); only the schedule differs. Batch must divide
-    num_microbatches; depth must divide mesh.shape['pp']."""
+    num_microbatches; depth must divide mesh.shape['pp']. With
+    `deterministic=False`, `dropout_rng` drives attention/FF dropout (see
+    module docstring for the stream layout)."""
     assert transformer.scan_layers, "pipeline needs scan_layers=True params"
     assert PIPE_AXIS in mesh.shape, f"mesh lacks a '{PIPE_AXIS}' axis"
     stages = mesh.shape[PIPE_AXIS]
     depth = transformer.depth
     assert depth % stages == 0, f"depth {depth} % pp {stages}"
+    layers_per_stage = depth // stages
+    if not deterministic:
+        assert dropout_rng is not None, "dropout needs a dropout_rng"
 
     b = x.shape[0]
-    m = num_microbatches if num_microbatches is not None else min(b, stages)
+    dp = mesh.shape.get("dp", 1)
+    # default: dp*stages microbatches — each dp row gets `stages`, the
+    # minimum that fills its pipeline
+    m = num_microbatches if num_microbatches is not None else min(b, dp * stages)
     assert b % m == 0, f"batch {b} % microbatches {m}"
     mb = b // m
+
+    # dp composition: each dp row pipelines its own m/dp local microbatches
+    assert m % dp == 0, (
+        f"microbatches {m} must divide the dp axis ({dp}) — each dp row runs"
+        " an independent pipeline over m/dp microbatches"
+    )
+    m_local = m // dp
+    mb_spec = P("dp") if dp > 1 else P()
 
     # layer body identical to the sequential path (transformer.py:187-204);
     # PEG sees the per-microbatch grid
     mb_video_shape = None
     if video_shape is not None:
         mb_video_shape = (mb, *video_shape[1:])
-    cfg = transformer._layer_config(mb_video_shape, True)
-    layer_mod = TransformerLayer(**cfg)
+    # parent=None detaches from any live flax module context — this function
+    # is also called from INSIDE bound modules (MaskGit/TokenCritic route
+    # their trunks here), where a bare construction would be intercepted as
+    # a submodule assignment outside setup
+    cfg = transformer._layer_config(mb_video_shape, deterministic)
+    layer_mod = TransformerLayer(**cfg, parent=None)
 
     stacked = params["layers_scan"]
-    T = m + stages - 1
+    T = m_local + stages - 1
 
     # broadcast (non-pipelined) per-microbatch args: biases are shared,
     # batch-major args are microbatched alongside x
@@ -131,28 +160,43 @@ def pipeline_transformer_apply(
         lambda v: P(PIPE_AXIS, *([None] * (v.ndim - 1))), stacked
     )
 
-    def run(local_stacked, x_mb, attn_bias, ctx_mb, sam_mb, ccm_mb):
+    def run(local_stacked, x_mb, attn_bias, ctx_mb, sam_mb, ccm_mb, drop_rng):
         s = jax.lax.axis_index(PIPE_AXIS)
+        dp_idx = jax.lax.axis_index("dp") if dp > 1 else 0
 
-        def local_layers(act, bc):
+        def local_layers(act, bc, t_mb):
             ctx_t, sam_t, ccm_t = bc
 
-            def body(a, p_slice):
+            def body(a, xs):
+                p_slice, local_i = xs
+                rngs = None
+                if not deterministic:
+                    # (GLOBAL microbatch, GLOBAL layer) stream — stage- and
+                    # dp-count invariant (see module docstring)
+                    layer_idx = s * layers_per_stage + local_i
+                    global_mb = dp_idx * m_local + t_mb
+                    key = jax.random.fold_in(
+                        jax.random.fold_in(drop_rng, global_mb), layer_idx
+                    )
+                    rngs = {"dropout": key}
                 return (
                     layer_mod.apply(
-                        {"params": p_slice}, a, attn_bias, ctx_t, sam_t, ccm_t
+                        {"params": p_slice}, a, attn_bias, ctx_t, sam_t, ccm_t,
+                        rngs=rngs,
                     ),
                     None,
                 )
 
-            act, _ = jax.lax.scan(body, act, local_stacked)
+            act, _ = jax.lax.scan(
+                body, act, (local_stacked, jnp.arange(layers_per_stage))
+            )
             return act
 
         def pick(mb_arr, t):
             if mb_arr is None:
                 return None
             return jax.lax.dynamic_index_in_dim(
-                mb_arr, jnp.clip(t, 0, m - 1), 0, keepdims=False
+                mb_arr, jnp.clip(t, 0, m_local - 1), 0, keepdims=False
             )
 
         def tick(carry, t):
@@ -161,9 +205,18 @@ def pipeline_transformer_apply(
             # Every stage must see the RIGHT microbatch's broadcast args:
             # stage s processes microbatch (t - s)
             act = jnp.where(s == 0, pick(x_mb, t), act)
-            t_mb = jnp.clip(t - s, 0, m - 1)
+            t_mb_raw = t - s
+            t_mb = jnp.clip(t_mb_raw, 0, m_local - 1)
             bc = (pick(ctx_mb, t_mb), pick(sam_mb, t_mb), pick(ccm_mb, t_mb))
-            act = local_layers(act, bc)
+            # warmup/drain ticks hold no real microbatch on this stage —
+            # skip the layer FLOPs entirely (the stage idles in the bubble)
+            valid = (t_mb_raw >= 0) & (t_mb_raw < m_local)
+            act = jax.lax.cond(
+                valid,
+                lambda a: local_layers(a, bc, t_mb),
+                lambda a: a,
+                act,
+            )
             out_t = act  # valid on the LAST stage for ticks >= stages-1
             act = jax.lax.ppermute(
                 act, PIPE_AXIS, [(i, (i + 1) % stages) for i in range(stages)]
@@ -173,7 +226,7 @@ def pipeline_transformer_apply(
         init = jnp.zeros_like(x_mb[0])
         _, outs = jax.lax.scan(tick, init, jnp.arange(T))
         # stage S-1 produced microbatch (t - (S-1)) at tick t
-        valid = jax.lax.dynamic_slice_in_dim(outs, stages - 1, m, 0)
+        valid = jax.lax.dynamic_slice_in_dim(outs, stages - 1, m_local, 0)
         # replicate the last stage's outputs to every stage
         valid = jax.lax.psum(
             jnp.where(s == stages - 1, valid, jnp.zeros_like(valid)), PIPE_AXIS
@@ -182,24 +235,30 @@ def pipeline_transformer_apply(
 
     specs_in = (
         stacked_specs,
-        P(),  # x_mb replicated over pp (dp sharding can ride the leading axes)
-        P() if attn_bias is not None else None,
-        P() if ctx_mb is not None else None,
-        P() if sam_mb is not None else None,
-        P() if ccm_mb is not None else None,
+        mb_spec,  # microbatch axis sharded over dp (replicated over pp)
+        P(),  # biases shared
+        mb_spec if ctx_mb is not None else None,
+        mb_spec if sam_mb is not None else None,
+        mb_spec if ccm_mb is not None else None,
+        P(),  # dropout rng replicated
     )
     specs_in = tuple(s if s is not None else P() for s in specs_in)
+
+    if dropout_rng is None:
+        dropout_rng = jax.random.PRNGKey(0)  # unused when deterministic
 
     run_sharded = shard_map(
         run,
         mesh=mesh,
         in_specs=specs_in,
-        out_specs=P(),
+        out_specs=mb_spec,
         check_vma=False,
     )
-    out = run_sharded(stacked, x_mb, attn_bias, ctx_mb, sam_mb, ccm_mb)
+    out = run_sharded(
+        stacked, x_mb, attn_bias, ctx_mb, sam_mb, ccm_mb, dropout_rng
+    )
     out = out.reshape(b, *x.shape[1:])
 
     # final norm (tiny) runs replicated outside the pipeline
-    norm = LayerNorm(transformer.dim, dtype=transformer.dtype)
+    norm = LayerNorm(transformer.dim, dtype=transformer.dtype, parent=None)
     return norm.apply({"params": params["norm_out"]}, out)

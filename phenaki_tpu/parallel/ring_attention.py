@@ -156,8 +156,11 @@ def sequence_sharded_attention(
         return fn(q, k, v, attn_bias=bias, key_mask_add=kmask)
 
     seq = P(None, None, axis_name, None)
-    bias_spec = P(None, axis_name, None)  # row-sharded bias
-    in_specs = (seq, seq, seq, bias_spec, P())
+    # None operands are empty pytrees: their spec entry is never consulted,
+    # so P() stands in (shard_map prefix-broadcasts over zero leaves)
+    bias_spec = P(None, axis_name, None) if attn_bias is not None else P()
+    kmask_spec = P()
+    in_specs = (seq, seq, seq, bias_spec, kmask_spec)
     out = shard_map(
         wrapped,
         mesh=mesh,

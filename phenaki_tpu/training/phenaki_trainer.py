@@ -37,6 +37,7 @@ from phenaki_tpu.data.datasets import DataLoader, ImageDataset, VideoDataset, cy
 from phenaki_tpu.models.phenaki import Phenaki
 from phenaki_tpu.parallel.mesh import (
     MODEL_AXIS,
+    fully_addressable as _fully_addressable,
     make_mesh,
     place_like as _place_like,
     replicate,
@@ -122,6 +123,8 @@ class PhenakiTrainer:
         dataset_fields: Optional[Tuple[str, ...]] = None,
         mesh=None,
         fsdp: bool = False,
+        pp: int = 1,
+        pipeline_microbatches: Optional[int] = None,
         seed: int = 42,
         log_every: int = 10,
         profile_dir: Optional[str] = None,
@@ -162,9 +165,26 @@ class PhenakiTrainer:
             " text-conditioned training"
         )
 
-        self.mesh = mesh if exists(mesh) else make_mesh()
+        self.mesh = mesh if exists(mesh) else make_mesh(pp=pp)
         self.logger = MetricLogger()
         self.rng = jax.random.PRNGKey(seed)
+
+        # pipeline parallelism (GPipe over the maskgit/critic trunk layers —
+        # parallel/pipeline.py): a 'pp' mesh axis routes the trunks through
+        # the pipelined schedule; composes with dp (each dp row runs its own
+        # pipeline over its microbatches)
+        pp_size = self.mesh.shape.get("pp", 1)
+        if pp_size > 1:
+            assert phenaki.maskgit.scan_layers, (
+                "pipeline parallelism needs MaskGit(scan_layers=True)"
+                " (stacked per-layer params shard over 'pp')"
+            )
+            assert self.mesh.shape.get(MODEL_AXIS, 1) == 1, (
+                "pp does not compose with tp yet"
+            )
+            assert phenaki.maskgit.depth % pp_size == 0
+            phenaki.pipeline_mesh = self.mesh
+            phenaki.pipeline_microbatches = pipeline_microbatches
 
         # dataset / dataloader
         self.dl = None
@@ -444,7 +464,22 @@ class PhenakiTrainer:
     # ------------------------------------------------------------------ #
 
     def _sample_and_save(self, milestone: int):
+        # artifacts are rank-0 work, but the checkpoint save must be entered
+        # by ALL processes (Orbax coordinates a multi-host save; rank-gating
+        # it deadlocks/corrupts cross-host-sharded state) — round-2 review
+        self._sample_artifacts(milestone)
+        self.save(milestone)
+
+    def _sample_artifacts(self, milestone: int):
         if jax.process_index() != 0:
+            return
+        if not _fully_addressable(self.state["params"]):
+            # cross-host sharded (fsdp multi-host) params cannot be fetched
+            # on one process; skip the sample artifacts, keep the checkpoint
+            self.print(
+                f"milestone {milestone}: skipping sample artifacts"
+                " (params sharded across hosts)"
+            )
             return
         model = self.model
         model.params = jax.device_get(self.state["params"])
@@ -491,8 +526,6 @@ class PhenakiTrainer:
                 nrow=nrows,
             )
 
-        self.save(milestone)
-
     def _ckpt_tree(self):
         """Full resume state (reference phenaki_trainer.py:323-349 packs step,
         model, optimizer, AMP scaler — no scaler needed on TPU/bf16): params,
@@ -510,16 +543,26 @@ class PhenakiTrainer:
         }
 
     def save(self, milestone: int):
-        self.checkpoints.save(milestone, jax.device_get(self._ckpt_tree()))
+        # hand the (possibly cross-host-sharded) device arrays straight to
+        # Orbax — each host writes its own shards; jax.device_get here would
+        # raise on non-fully-addressable fsdp/multi-host state (round-2 review)
+        self.checkpoints.save(milestone, self._ckpt_tree())
 
     def load(self, milestone: Optional[int] = None):
-        raw = self.checkpoints.restore(milestone)
-        if "opt_state" not in raw:
-            # pre-optimizer-state checkpoint layout (round-1): params only
-            return self._load_legacy(raw)
-        # re-restore WITH a template so optax NamedTuple states (Adam moments,
-        # MultiSteps accumulators) come back as the right container types
-        template = jax.device_get(self._ckpt_tree())
+        # layout detection from METADATA (no array data loaded): round-1
+        # checkpoints lack optimizer state and need the legacy path
+        try:
+            meta = self.checkpoints.metadata(milestone)
+            legacy = "opt_state" not in meta
+        except Exception:
+            legacy = "opt_state" not in self.checkpoints.restore(milestone)
+        if legacy:
+            return self._load_legacy(self.checkpoints.restore(milestone))
+        # re-restore WITH the live sharded state as template: optax NamedTuple
+        # states come back as the right container types AND every leaf is
+        # restored directly into the live sharding (multi-host safe; Orbax
+        # reshards if the checkpoint was written on a different topology)
+        template = self._ckpt_tree()
         restored = self.checkpoints.restore(milestone, template=template)
         new_state = dict(self.state)
         # place restored leaves with the LIVE state's shardings (preserves the
@@ -532,8 +575,11 @@ class PhenakiTrainer:
             self.state["step"], jnp.asarray(restored["step"], jnp.int32)
         )
         self.state = new_state
-        self.model.params = jax.device_get(new_state["params"])
-        self.rng = jnp.asarray(restored["rng"])
+        if _fully_addressable(new_state["params"]):
+            self.model.params = jax.device_get(new_state["params"])
+        # uncommitted host copy: a device-0-committed rng would conflict with
+        # the mesh-placed state args inside the jitted step
+        self.rng = jnp.asarray(jax.device_get(restored["rng"]))
         self._host_step = int(restored["host_step"])
 
     def _load_legacy(self, restored):
@@ -544,7 +590,8 @@ class PhenakiTrainer:
             self.state["step"], jnp.asarray(restored["step"], jnp.int32)
         )
         self.state = new_state
-        self.model.params = jax.device_get(new_state["params"])
+        if _fully_addressable(new_state["params"]):
+            self.model.params = jax.device_get(new_state["params"])
         # old checkpoints lack host_step; derive outer steps from micro-steps
         self._host_step = int(
             restored.get(

@@ -519,3 +519,189 @@ def test_phenaki_trainer_fsdp_equals_replicated(monkeypatch):
             )
         tr_rep.checkpoints.close()
         tr_fsdp.checkpoints.close()
+
+
+def test_phenaki_trainer_fsdp_checkpoint_roundtrip(monkeypatch):
+    """Multi-host-safe checkpointing (round-2 review): fsdp-sharded state is
+    handed to Orbax WITHOUT jax.device_get, and restore uses the live sharded
+    state as template — leaves come back bitwise equal AND keep their dp
+    shardings."""
+    import tempfile
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import phenaki_tpu.parallel.mesh as mesh_mod
+    from phenaki_tpu.models.cvivit import CViViT
+    from phenaki_tpu.models.maskgit import MaskGit
+    from phenaki_tpu.models.phenaki import Phenaki
+    from phenaki_tpu.training.phenaki_trainer import PhenakiTrainer
+
+    monkeypatch.setattr(mesh_mod, "_FSDP_MIN_SIZE", 256)
+
+    video = np.random.RandomState(3).rand(5, 16, 16, 3).astype(np.float32)
+
+    class FixedDataset:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, idx):
+            return video, "a video of a cat"
+
+    def build(results):
+        cvivit = CViViT(
+            dim=32, codebook_size=64, image_size=16, patch_size=8,
+            temporal_patch_size=2, spatial_depth=1, temporal_depth=1,
+            dim_head=16, heads=2,
+        )
+        cvivit_vars = cvivit.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 3, 16, 16, 3))
+        )
+        maskgit = MaskGit(
+            dim=32, num_tokens=64, max_seq_len=64, depth=1, heads=2,
+            dim_head=16, dim_context=512,
+        )
+        ph = Phenaki(
+            maskgit=maskgit, cvivit=cvivit, cvivit_vars=cvivit_vars, steps=2,
+            t5_name="google/t5-v1_1-small", max_text_len=8,
+        )
+        return PhenakiTrainer(
+            ph,
+            dataset=FixedDataset(),
+            batch_size=4,
+            num_frames=5,
+            train_num_steps=10,
+            num_samples=1,
+            save_and_sample_every=10**9,
+            results_folder=results,
+            sample_texts=["a cat"],
+            mesh=make_mesh(jax.devices()[:4], tp=1),
+            fsdp=True,
+            seed=7,
+        )
+
+    def dp_sharded(tree):
+        return [
+            l
+            for l in jax.tree_util.tree_leaves(tree)
+            if any(s == DATA_AXIS for s in getattr(l.sharding, "spec", ()))
+        ]
+
+    with tempfile.TemporaryDirectory() as d:
+        tr = build(d + "/a")
+        tr.train_step()
+        assert dp_sharded(tr.state["params"]), "precondition: fsdp shards params"
+        tr.save(1)
+        tr.checkpoints.wait()
+        before = jax.device_get(tr.state["params"])
+        before_opt = jax.device_get(tr.state["opt_state"])
+        step_before = int(jax.device_get(tr.state["step"]))
+
+        # fresh trainer (different seed => different init) restores into the
+        # SAME fsdp placement
+        tr2 = build(d + "/a")
+        tr2.load(1)
+        assert dp_sharded(tr2.state["params"]), (
+            "restored params must keep their fsdp dp-sharding"
+        )
+        after = jax.device_get(tr2.state["params"])
+        for a, b in zip(
+            jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)
+        ):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        after_opt = jax.device_get(tr2.state["opt_state"])
+        for a, b in zip(
+            jax.tree_util.tree_leaves(before_opt),
+            jax.tree_util.tree_leaves(after_opt),
+        ):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        assert int(jax.device_get(tr2.state["step"])) == step_before
+        tr.checkpoints.close()
+        tr2.checkpoints.close()
+
+
+def test_phenaki_trainer_pp_equals_dp():
+    """Pipeline parallelism is wired INTO the trainer (round-2 review #4): a
+    pp=2 x dp=4 mesh routes the MaskGit trunk through the GPipe schedule
+    (parallel/pipeline.py) with the stacked layer params sharded over 'pp',
+    and must produce the same training trajectory as plain dp=8 (same data,
+    same seed) — the pipeline changes the schedule, not the math."""
+    from phenaki_tpu.models.cvivit import CViViT
+    from phenaki_tpu.models.phenaki import Phenaki
+    from phenaki_tpu.parallel.mesh import PIPE_AXIS
+    from phenaki_tpu.training.phenaki_trainer import PhenakiTrainer
+
+    video = np.random.RandomState(3).rand(5, 16, 16, 3).astype(np.float32)
+
+    class FixedDataset:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, idx):
+            return video, "a video of a cat"
+
+    def build(pp, results):
+        cvivit = CViViT(
+            dim=32, codebook_size=64, image_size=16, patch_size=8,
+            temporal_patch_size=2, spatial_depth=1, temporal_depth=1,
+            dim_head=16, heads=2,
+        )
+        cvivit_vars = cvivit.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 3, 16, 16, 3))
+        )
+        maskgit = MaskGit(
+            dim=32, num_tokens=64, max_seq_len=64, depth=2, heads=2,
+            dim_head=16, dim_context=512, scan_layers=True,
+        )
+        ph = Phenaki(
+            maskgit=maskgit, cvivit=cvivit, cvivit_vars=cvivit_vars, steps=2,
+            t5_name="google/t5-v1_1-small", max_text_len=8,
+        )
+        return PhenakiTrainer(
+            ph,
+            dataset=FixedDataset(),
+            batch_size=8,
+            num_frames=5,
+            train_num_steps=10,
+            num_samples=1,
+            save_and_sample_every=10**9,
+            results_folder=results,
+            sample_texts=["a cat"],
+            mesh=make_mesh(jax.devices()[:8], pp=pp),
+            seed=7,
+        )
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        tr_dp = build(1, d + "/dp")
+        tr_pp = build(2, d + "/pp")
+
+        assert tr_pp.model.pipeline_mesh is not None
+
+        # the stacked trunk layer params are actually sharded over 'pp'
+        pp_sharded = [
+            l
+            for l in jax.tree_util.tree_leaves(
+                tr_pp.state["params"]["maskgit"]["transformer"]
+            )
+            if any(
+                s == PIPE_AXIS for s in getattr(l.sharding, "spec", ())
+            )
+        ]
+        assert pp_sharded, "pp=2 trainer must shard layers_scan depth over pp"
+
+        losses_dp = [float(jax.device_get(tr_dp.train_step())) for _ in range(2)]
+        losses_pp = [float(jax.device_get(tr_pp.train_step())) for _ in range(2)]
+        np.testing.assert_allclose(losses_dp, losses_pp, rtol=2e-4, atol=2e-5)
+
+        p_dp = jax.device_get(tr_dp.state["params"])
+        p_pp = jax.device_get(tr_pp.state["params"])
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_dp), jax.tree_util.tree_leaves(p_pp)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=3e-4
+            )
+        tr_dp.checkpoints.close()
+        tr_pp.checkpoints.close()

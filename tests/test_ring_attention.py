@@ -85,3 +85,97 @@ def test_ring_grad_flows():
     for a, b in zip(g_r, g_d):
         # rtol=0: ~1e-10 gradient components are reduction-order noise
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=5e-5)
+
+
+def test_maskgit_seq_shard_matches_dense():
+    """Ring attention integrated INTO the models (round-2 review #5): a
+    MaskGit built with seq_shard_mesh/axis routes its self-attention through
+    ring attention under shard_map — same params, same output as the dense
+    model. Sequence 4*4*4 = 64 tokens sharded 8-way."""
+    from phenaki_tpu.models.maskgit import MaskGit
+
+    mesh = make_mesh(tp=1)  # dp=8 as the sequence axis
+    common = dict(
+        dim=32, num_tokens=64, max_seq_len=64, depth=2, heads=2, dim_head=16,
+        dim_context=16,
+    )
+    dense = MaskGit(**common)
+    ring = MaskGit(**common, seq_shard_mesh=mesh, seq_shard_axis="dp")
+
+    patch_shape = (4, 4, 4)
+    ids = jnp.asarray(
+        np.random.RandomState(0).randint(0, 64, (2, 64)), jnp.int32
+    )
+    ctx = jnp.asarray(np.random.RandomState(1).randn(2, 5, 16), jnp.float32)
+    variables = dense.init(
+        jax.random.PRNGKey(0), ids, video_patch_shape=patch_shape, context=ctx
+    )
+
+    out_dense = dense.apply(
+        variables, ids, video_patch_shape=patch_shape, context=ctx
+    )
+    out_ring = ring.apply(
+        variables, ids, video_patch_shape=patch_shape, context=ctx
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_dense), np.asarray(out_ring), atol=5e-5, rtol=5e-5
+    )
+
+
+def test_cvivit_temporal_seq_shard_matches_dense():
+    """C-ViViT's temporal transformers run ring attention over the frame
+    axis when configured; reconstruction must match the dense model."""
+    from phenaki_tpu.models.cvivit import CViViT
+
+    mesh = make_mesh(tp=1)
+    common = dict(
+        dim=32, codebook_size=64, image_size=16, patch_size=8,
+        temporal_patch_size=2, spatial_depth=1, temporal_depth=1,
+        dim_head=16, heads=2,
+    )
+    dense = CViViT(**common)
+    ring = CViViT(**common, seq_shard_mesh=mesh, seq_shard_axis="dp")
+
+    # 17 frames -> 1 + 16/2 = 9 latent frames; 9 % 8 != 0 so ring would fall
+    # back — use 15 frames -> 8 latent frames, divisible by the 8-way axis
+    video = jnp.asarray(
+        np.random.RandomState(0).rand(1, 15, 16, 16, 3), jnp.float32
+    )
+    variables = dense.init(jax.random.PRNGKey(0), video)
+
+    ids_dense = dense.apply(variables, video, return_only_codebook_ids=True)
+    ids_ring = ring.apply(variables, video, return_only_codebook_ids=True)
+    # token ids are argmax-like discrete outputs: require exact agreement
+    assert np.array_equal(np.asarray(ids_dense), np.asarray(ids_ring))
+
+
+def test_maskgit_seq_shard_falls_back_on_indivisible():
+    """Sequences that don't divide the axis fall back to dense attention
+    (no error, same params)."""
+    from phenaki_tpu.models.maskgit import MaskGit
+
+    mesh = make_mesh(tp=1)
+    common = dict(
+        dim=32, num_tokens=64, max_seq_len=96, depth=1, heads=2, dim_head=16,
+        dim_context=16,
+    )
+    ring = MaskGit(**common, seq_shard_mesh=mesh, seq_shard_axis="dp")
+    dense = MaskGit(**common)
+
+    patch_shape = (3, 3, 3)  # 27 tokens, not divisible by 8
+    ids = jnp.asarray(
+        np.random.RandomState(0).randint(0, 64, (2, 27)), jnp.int32
+    )
+    ctx = jnp.asarray(np.random.RandomState(1).randn(2, 5, 16), jnp.float32)
+    variables = dense.init(
+        jax.random.PRNGKey(0), ids, video_patch_shape=patch_shape, context=ctx
+    )
+    out_ring = ring.apply(
+        variables, ids, video_patch_shape=patch_shape, context=ctx
+    )
+    out_dense = dense.apply(
+        variables, ids, video_patch_shape=patch_shape, context=ctx
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_ring), np.asarray(out_dense), atol=1e-6
+    )
