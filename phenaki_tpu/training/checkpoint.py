@@ -34,6 +34,25 @@ def load_pytree(path: str | os.PathLike, template: Any = None) -> Any:
     return ckptr.restore(Path(path).absolute())
 
 
+def _globalize(tree: Any) -> Any:
+    """Multi-process save/restore prep: Orbax refuses host-local jax.Arrays
+    (SingleDeviceSharding scalars like step counters / rng keys) in a
+    multi-host setting. Such leaves are replicated-by-construction across
+    processes (every process computes the same counters), so hand them to
+    Orbax as numpy — written once from the primary host, restored everywhere.
+    Global (mesh-sharded or cross-host-replicated) arrays pass through and
+    are written shard-wise. No-op in single-process runs."""
+    if jax.process_count() == 1:
+        return tree
+
+    def fix(leaf):
+        if isinstance(leaf, jax.Array) and leaf.is_fully_addressable:
+            return jax.device_get(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map(fix, tree)
+
+
 class CheckpointManager:
     """Thin wrapper: save/restore arbitrary pytrees by integer milestone."""
 
@@ -46,7 +65,7 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
     def save(self, step: int, state: Any, wait: bool = False) -> None:
-        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._mgr.save(step, args=ocp.args.StandardSave(_globalize(state)))
         if wait:
             self._mgr.wait_until_finished()
 
@@ -57,9 +76,18 @@ class CheckpointManager:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
         if template is not None:
             return self._mgr.restore(
-                step, args=ocp.args.StandardRestore(template)
+                step, args=ocp.args.StandardRestore(_globalize(template))
             )
         return self._mgr.restore(step)
+
+    def metadata(self, step: Optional[int] = None) -> Any:
+        """Checkpoint tree structure WITHOUT loading array data (used for
+        layout detection before choosing a restore template)."""
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        return self._mgr.item_metadata(step)
 
     @property
     def latest_step(self) -> Optional[int]:

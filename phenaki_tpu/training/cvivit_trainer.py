@@ -49,6 +49,7 @@ from phenaki_tpu.models.cvivit_losses import (
 )
 from phenaki_tpu.models.vgg import VGG16Features, init_vgg
 from phenaki_tpu.parallel.mesh import (
+    fully_addressable as _fully_addressable,
     make_mesh,
     place_like as _place_like,
     replicate,
@@ -96,6 +97,14 @@ class CViViTTrainer:
         apply_grad_penalty_every: int = 4,
         use_vgg_and_gan: bool = True,
         use_hinge_loss: bool = True,
+        # perceptual term when the GAN suite is on: "disc" matches
+        # unit-normalized in-training discriminator features (default — the
+        # measured A/B beats both recon-only and the random-VGG stand-in,
+        # BASELINE.md), "vgg" is the reference's VGG16 feature MSE (pass
+        # converted torchvision weights via vgg_params for the reference's
+        # actual behavior; random VGG features measurably HURT), "none"
+        # drops the term (cvivit_losses.cvivit_generator_loss)
+        perceptual_mode: str = "disc",
         discr_base_dim: int = 16,
         discr_attn_res_layers: tuple = (16,),
         vgg_params: Optional[Dict] = None,
@@ -109,6 +118,10 @@ class CViViTTrainer:
         self.vae = vae
         self.use_vgg_and_gan = use_vgg_and_gan
         self.use_hinge_loss = use_hinge_loss
+        assert perceptual_mode in ("vgg", "disc", "none"), perceptual_mode
+        if exists(vgg_params):
+            perceptual_mode = "vgg"  # explicit (converted) weights win
+        self.perceptual_mode = perceptual_mode
         self.num_train_steps = num_train_steps
         self.batch_size = batch_size
         self.grad_accum_every = grad_accum_every
@@ -161,8 +174,9 @@ class CViViTTrainer:
             discr_vars = jit_init(
                 self.discr, discr_rng, jnp.zeros((1, *image_hw, vae.channels))
             )
-            self.vgg, default_vgg = init_vgg(dtype=vae.dtype)
-            self.vgg_vars = vgg_params if exists(vgg_params) else default_vgg
+            if self.perceptual_mode == "vgg":
+                self.vgg, default_vgg = init_vgg(dtype=vae.dtype)
+                self.vgg_vars = vgg_params if exists(vgg_params) else default_vgg
 
         # --- optimizers (reference optimizer.py via optax) --- #
         gen_opt = get_optimizer(lr=lr, wd=wd, max_grad_norm=max_grad_norm)
@@ -334,6 +348,7 @@ class CViViTTrainer:
                     use_hinge_loss=self.use_hinge_loss,
                     deterministic=True,
                     mutable_vq=mutable_vq,
+                    perceptual_mode=self.perceptual_mode,
                 )
                 aux["new_vq"] = new_vq
                 return loss, aux
@@ -521,6 +536,11 @@ class CViViTTrainer:
     def _save_results(self, steps: int):
         if self.valid_dl_iter is None or jax.process_index() != 0:
             return
+        if not _fully_addressable(self.state["vae_params"]):
+            # cross-host sharded (fsdp multi-host) params cannot be consumed
+            # on one process; skip the recon artifacts, keep checkpoints
+            self.print(f"{steps}: skipping recon artifacts (params sharded across hosts)")
+            return
         (valid_batch, *_r) = next(self.valid_dl_iter)
         valid_batch = jnp.asarray(valid_batch)
         is_video = valid_batch.ndim == 5
@@ -571,17 +591,27 @@ class CViViTTrainer:
         }
 
     def save(self, milestone: int):
-        self.checkpoints.save(milestone, jax.device_get(self._ckpt_tree()))
+        # hand the (possibly cross-host-sharded) device arrays straight to
+        # Orbax — each host writes its own shards; jax.device_get here would
+        # raise on non-fully-addressable fsdp/multi-host state (round-2 review)
+        self.checkpoints.save(milestone, self._ckpt_tree())
         self.print(f"{self.step}: saving model to {self.results_folder}")
 
     def load(self, milestone: Optional[int] = None):
-        raw = self.checkpoints.restore(milestone)
-        if "gen_opt_state" not in raw:
-            # pre-optimizer-state checkpoint layout (round-1): params/EMA only
-            return self._load_legacy(raw)
-        # re-restore WITH a template so optax NamedTuple states (Adam moments,
-        # MultiSteps accumulators) come back as the right container types
-        template = jax.device_get(self._ckpt_tree())
+        # layout detection from METADATA (no array data loaded): round-1
+        # checkpoints lack optimizer state and need the legacy path
+        try:
+            meta = self.checkpoints.metadata(milestone)
+            legacy = "gen_opt_state" not in meta
+        except Exception:
+            legacy = "gen_opt_state" not in self.checkpoints.restore(milestone)
+        if legacy:
+            return self._load_legacy(self.checkpoints.restore(milestone))
+        # re-restore WITH the live sharded state as template: optax NamedTuple
+        # states come back as the right container types AND every leaf is
+        # restored directly into the live sharding (multi-host safe; Orbax
+        # reshards if the checkpoint was written on a different topology)
+        template = self._ckpt_tree()
         restored = self.checkpoints.restore(milestone, template=template)
         new_state = dict(self.state)
         # place restored leaves with the LIVE state's shardings (preserves the
@@ -600,7 +630,9 @@ class CViViTTrainer:
             self.state["step"], jnp.asarray(restored["step"], jnp.int32)
         )
         self.state = new_state
-        self.rng = jnp.asarray(restored["rng"])
+        # uncommitted host copy: a device-0-committed rng would conflict with
+        # the mesh-placed state args inside the jitted step
+        self.rng = jnp.asarray(jax.device_get(restored["rng"]))
         self._host_step = int(restored["host_step"])
 
     def _load_legacy(self, restored):

@@ -78,7 +78,7 @@ trainer = CViViTTrainer(
     valid_frac=0.0,
     save_results_every=10**9,
     save_model_every=10**9,
-    results_folder=results + f"/r{proc_id}",
+    results_folder=results + "/shared",  # SHARED: multi-process ckpt writes
     use_ema=True,
     seed=11,
 )
@@ -93,8 +93,20 @@ assert all(np.isfinite(l) for l in losses), losses
 leaf = jax.device_get(
     jax.tree_util.tree_leaves(trainer.state["vae_params"])[0]
 )
-print(f"FINGERPRINT {float(np.sum(np.asarray(leaf, np.float64))):.10f}", flush=True)
+fp_before = float(np.sum(np.asarray(leaf, np.float64)))
+print(f"FINGERPRINT {fp_before:.10f}", flush=True)
 print(f"LOSSES {losses[0]:.8f} {losses[1]:.8f}", flush=True)
+
+# multi-process checkpoint: EVERY process enters save() (Orbax coordinates
+# the write) and then restores — round-trip must be bitwise on the params
+trainer.save(1)
+trainer.checkpoints.wait()
+before = jax.device_get(trainer.state["vae_params"])
+trainer.load(1)
+after = jax.device_get(trainer.state["vae_params"])
+for a, b in zip(jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)):
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+print("CKPT_OK", flush=True)
 print("WORKER_OK", flush=True)
 """
 
@@ -153,3 +165,5 @@ def test_two_process_cpu_training_smoke(tmp_path):
     # replicated params and losses identical across processes
     assert grab("FINGERPRINT", outs[0]) == grab("FINGERPRINT", outs[1])
     assert grab("LOSSES", outs[0]) == grab("LOSSES", outs[1])
+    # both processes round-tripped the coordinated Orbax checkpoint
+    assert all("CKPT_OK" in out for out in outs)
