@@ -12,11 +12,22 @@ requests into one device launch.
     Future;
   * a dispatcher thread drains the queue, waits up to `max_delay_ms` for
     more requests (latency/throughput knob), pads the batch to the nearest
-    compiled bucket size (static shapes — XLA compiles once per bucket,
-    first request per bucket pays the compile), runs ONE `sample`, and
-    resolves the futures;
+    compiled bucket size (static shapes — XLA compiles once per bucket;
+    `prewarm()` pays every bucket's compile up front), runs ONE `sample`,
+    and resolves the futures;
   * text encoding (host-side T5/hash) runs in the dispatcher, off the
-    caller threads; the device queue never sees partial batches.
+    caller threads; the device queue never sees partial batches. Mixed
+    text/embeds batches are fine: text requests are encoded first so the
+    whole batch reduces to embeddings.
+
+Overload behavior is explicit (round-2 review): the submit queue is BOUNDED
+(`max_queue`) and sheds load by failing the future with `ServerOverloaded`
+instead of buffering a burst until the host OOMs; the resolver queue is
+bounded too (blocking the dispatcher = backpressure on the device pipeline,
+at most `resolve_depth` launches in flight). Each request may carry a
+`deadline` (seconds): requests that expire while queued are dropped at
+batch-assembly time with `DeadlineExceeded` rather than occupying a device
+slot.
 
 Every request carries its own fold of the server rng so identical prompts
 in one batch still decode different videos, while a fixed `seed` makes the
@@ -31,25 +42,37 @@ batching core is the reusable piece.
 from __future__ import annotations
 
 import base64
-import io
 import json
 import queue
 import threading
+import time
 from concurrent.futures import Future
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-class _Request:
-    __slots__ = ("text", "text_embeds", "future")
+class ServerOverloaded(RuntimeError):
+    """Submit queue full — request shed at admission."""
 
-    def __init__(self, text, text_embeds):
+
+class DeadlineExceeded(TimeoutError):
+    """Request expired before a device slot was available."""
+
+
+class _Request:
+    __slots__ = ("text", "text_embeds", "future", "deadline_ts")
+
+    def __init__(self, text, text_embeds, deadline_ts):
         self.text = text
         self.text_embeds = text_embeds
+        self.deadline_ts = deadline_ts  # monotonic seconds or None
         self.future: Future = Future()
+
+    def expired(self) -> bool:
+        return self.deadline_ts is not None and time.monotonic() > self.deadline_ts
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -64,7 +87,9 @@ class PhenakiServer:
 
     Parameters mirror `Phenaki.sample`; `batch_buckets` are the compiled
     batch sizes (requests pad up to the nearest bucket; oversize bursts
-    split across launches)."""
+    split across launches). `max_queue` bounds admitted-but-unbatched
+    requests (0 = unbounded); `resolve_depth` bounds launches whose results
+    are still being delivered (dispatcher blocks when full)."""
 
     def __init__(
         self,
@@ -78,6 +103,8 @@ class PhenakiServer:
         seed: int = 0,
         mesh=None,
         output_dtype: str = "uint8",  # or "float32"
+        max_queue: int = 256,
+        resolve_depth: int = 4,
     ):
         assert phenaki.params is not None, "model must be initialized/loaded"
         assert output_dtype in ("uint8", "float32")
@@ -96,13 +123,20 @@ class PhenakiServer:
             lambda v: jnp.clip(v * 255.0, 0.0, 255.0).astype(jnp.uint8)
         )
         self._rng = jax.random.PRNGKey(seed)
-        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue(
+            maxsize=max_queue
+        )
         self._launches: List[Tuple[int, int]] = []  # (requests, bucket)
+        self._shed = 0  # admission rejections (telemetry)
+        self._expired = 0  # deadline drops (telemetry)
         self._closed = False
+        self._close_lock = threading.Lock()
         # the dispatcher never blocks on device->host transfers: completed
         # launches hand off to the resolver thread, so batch k+1's compute
-        # overlaps batch k's result delivery
-        self._resolve_q: "queue.Queue" = queue.Queue()
+        # overlaps batch k's result delivery. BOUNDED: when resolve_depth
+        # launches are undelivered the dispatcher blocks (backpressure)
+        # instead of queueing device arrays without limit.
+        self._resolve_q: "queue.Queue" = queue.Queue(maxsize=resolve_depth)
         self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._thread.start()
         self._resolver = threading.Thread(target=self._resolve_loop, daemon=True)
@@ -112,14 +146,35 @@ class PhenakiServer:
     # client API                                                          #
     # ------------------------------------------------------------------ #
 
-    def submit(self, text: Optional[str] = None, text_embeds=None) -> Future:
-        """Enqueue one prompt; resolves to a (f, H, W, c) float video."""
-        assert not self._closed, "server is closed"
+    def submit(
+        self,
+        text: Optional[str] = None,
+        text_embeds=None,
+        deadline: Optional[float] = None,
+    ) -> Future:
+        """Enqueue one prompt; resolves to a (f, H, W, c) video array.
+
+        `deadline` (seconds from now): if the request is still queued when
+        it expires, its future fails with DeadlineExceeded. If the admission
+        queue is full the future fails immediately with ServerOverloaded."""
         assert (text is None) != (text_embeds is None), (
             "pass exactly one of text / text_embeds"
         )
-        req = _Request(text, text_embeds)
-        self._queue.put(req)
+        deadline_ts = None if deadline is None else time.monotonic() + deadline
+        req = _Request(text, text_embeds, deadline_ts)
+        with self._close_lock:
+            if self._closed:
+                req.future.set_exception(RuntimeError("server is closed"))
+                return req.future
+            try:
+                self._queue.put_nowait(req)
+            except queue.Full:
+                self._shed += 1
+                req.future.set_exception(
+                    ServerOverloaded(
+                        f"submit queue full ({self._queue.maxsize} pending)"
+                    )
+                )
         return req.future
 
     def generate(self, texts: Sequence[str]) -> np.ndarray:
@@ -127,32 +182,91 @@ class PhenakiServer:
         futures = [self.submit(text=t) for t in texts]
         return np.stack([f.result() for f in futures])
 
+    def prewarm(self):
+        """Compile every batch bucket up front (one dummy launch each) so no
+        real request pays a cold XLA compile. Blocking; call before serving."""
+        dummy = np.zeros(
+            (1, self.model.max_text_len, self.model.text_embed_dim), np.float32
+        )
+        for b in self.batch_buckets:
+            embeds = np.repeat(dummy, b, axis=0)
+            videos = self.model.sample(
+                num_frames=self.num_frames,
+                text_embeds=embeds,
+                cond_scale=self.cond_scale,
+                starting_temperature=self.starting_temperature,
+                rng=jax.random.PRNGKey(0),
+                mesh=self.mesh,
+            )
+            if self.output_dtype == "uint8":
+                videos = self._to_u8(videos)
+            jax.block_until_ready(videos)
+
     def close(self):
-        self._closed = True
+        with self._close_lock:
+            if self._closed:
+                return
+            self._closed = True
         self._queue.put(None)
-        self._thread.join(timeout=30)
+        self._thread.join(timeout=60)
         self._resolve_q.put(None)
-        self._resolver.join(timeout=30)
+        self._resolver.join(timeout=60)
+        # drain anything that raced the sentinel (ADVICE r2: a submit racing
+        # close() could land behind the None and hang its caller forever)
+        self._fail_pending(RuntimeError("server is closed"))
+
+    def _fail_pending(self, exc: Exception):
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item.future.done():
+                item.future.set_exception(exc)
+        while True:
+            try:
+                item = self._resolve_q.get_nowait()
+            except queue.Empty:
+                break
+            if item is None:
+                continue
+            _, batch = item
+            for req in batch:
+                if not req.future.done():
+                    req.future.set_exception(exc)
 
     @property
     def launch_log(self) -> List[Tuple[int, int]]:
         """(num_real_requests, bucket_size) per device launch (telemetry)."""
         return list(self._launches)
 
+    @property
+    def stats(self) -> dict:
+        return {
+            "launches": len(self._launches),
+            "shed": self._shed,
+            "expired": self._expired,
+            "pending": self._queue.qsize(),
+        }
+
     # ------------------------------------------------------------------ #
     # dispatcher                                                          #
     # ------------------------------------------------------------------ #
 
     def _collect(self) -> Optional[List[_Request]]:
-        """Block for the first request, then coalesce up to max bucket for
-        at most max_delay_ms."""
-        first = self._queue.get()
-        if first is None:
-            return None
+        """Block for the first live request, then coalesce up to max bucket
+        for at most max_delay_ms. Expired requests are failed and dropped."""
+        while True:
+            first = self._queue.get()
+            if first is None:
+                return None
+            if first.expired():
+                self._drop_expired(first)
+                continue
+            break
         batch = [first]
         max_b = self.batch_buckets[-1]
         deadline = self.max_delay_ms / 1000.0
-        import time
 
         t0 = time.monotonic()
         while len(batch) < max_b:
@@ -166,8 +280,18 @@ class PhenakiServer:
             if req is None:
                 self._queue.put(None)  # re-signal shutdown for next loop
                 break
+            if req.expired():
+                self._drop_expired(req)
+                continue
             batch.append(req)
         return batch
+
+    def _drop_expired(self, req: _Request):
+        self._expired += 1
+        if not req.future.done():
+            req.future.set_exception(
+                DeadlineExceeded("request expired before batching")
+            )
 
     def _dispatch_loop(self):
         while True:
@@ -185,14 +309,18 @@ class PhenakiServer:
         n = len(batch)
         bucket = _bucket(n, self.batch_buckets)
 
-        texts = [r.text for r in batch]
-        if any(t is not None for t in texts):
-            assert all(t is not None for t in texts) or all(
-                t is None for t in texts
-            ), "mixed text/embeds batches unsupported"
-            embeds = self.model.embed_texts([t for t in texts])
-        else:
-            embeds = np.stack([np.asarray(r.text_embeds) for r in batch])
+        # mixed batches: encode the text requests so everything is embeds
+        # (ADVICE r2: a text + embeds pair used to fail the whole batch)
+        text_idx = [i for i, r in enumerate(batch) if r.text is not None]
+        rows: List[Optional[np.ndarray]] = [
+            None if r.text_embeds is None else np.asarray(r.text_embeds)
+            for r in batch
+        ]
+        if text_idx:
+            encoded = self.model.embed_texts([batch[i].text for i in text_idx])
+            for slot, i in enumerate(text_idx):
+                rows[i] = np.asarray(encoded[slot])
+        embeds = np.stack(rows)
         # pad rows to the bucket (repeat last row; outputs discarded)
         if bucket != n:
             pad = np.repeat(embeds[-1:], bucket - n, axis=0)
@@ -211,7 +339,8 @@ class PhenakiServer:
             videos = self._to_u8(videos)
         self._launches.append((n, bucket))
         # async handoff: the fetch happens on the resolver thread while the
-        # dispatcher assembles/launches the next batch
+        # dispatcher assembles/launches the next batch (blocks at
+        # resolve_depth undelivered launches = backpressure)
         self._resolve_q.put((videos, batch))
 
     def _resolve_loop(self):
@@ -248,15 +377,29 @@ def _video_to_gif_b64(video: np.ndarray) -> str:
             return base64.b64encode(f.read()).decode()
 
 
-def serve_http(server: PhenakiServer, port: int = 8089, max_requests=None):
+def serve_http(
+    server: PhenakiServer,
+    port: int = 8089,
+    max_requests=None,
+    request_timeout: float = 120.0,
+):
     """Blocking JSON/HTTP endpoint: POST /generate {"text": "..."} ->
-    {"video_gif_b64": ...}; GET /healthz -> ok. `max_requests` bounds the
-    serve loop (for tests)."""
+    {"video_gif_b64": ...}; GET /healthz -> ok, /stats -> telemetry JSON.
+    `max_requests` bounds the serve loop (for tests). Each request carries a
+    `request_timeout`-second deadline end to end; expiry returns 503."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         def do_GET(self):
             if self.path == "/healthz":
@@ -265,6 +408,8 @@ def serve_http(server: PhenakiServer, port: int = 8089, max_requests=None):
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+            elif self.path == "/stats":
+                self._json(200, server.stats)
             else:
                 self.send_response(404)
                 self.end_headers()
@@ -277,18 +422,14 @@ def serve_http(server: PhenakiServer, port: int = 8089, max_requests=None):
             length = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(length) or b"{}")
             try:
-                video = server.submit(text=payload["text"]).result(timeout=600)
-                body = json.dumps(
-                    {"video_gif_b64": _video_to_gif_b64(video)}
-                ).encode()
-                self.send_response(200)
+                video = server.submit(
+                    text=payload["text"], deadline=request_timeout
+                ).result(timeout=request_timeout)
+                self._json(200, {"video_gif_b64": _video_to_gif_b64(video)})
+            except (ServerOverloaded, DeadlineExceeded, TimeoutError) as e:
+                self._json(503, {"error": str(e)})
             except Exception as e:
-                body = json.dumps({"error": str(e)}).encode()
-                self.send_response(500)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+                self._json(500, {"error": str(e)})
 
     httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
     if max_requests is None:

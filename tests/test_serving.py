@@ -165,3 +165,97 @@ def test_server_with_mesh_sharded_sampling(tiny_phenaki):
         )
     finally:
         server.close()
+
+
+def test_server_sheds_load_when_queue_full(tiny_phenaki):
+    from phenaki_tpu.serving import ServerOverloaded
+
+    server = PhenakiServer(
+        tiny_phenaki, num_frames=3, batch_buckets=(1,), max_delay_ms=1.0,
+        max_queue=2,
+    )
+    try:
+        emb = np.random.RandomState(3).randn(3, TEXT_DIM).astype(np.float32)
+        # flood far beyond the 2-deep admission queue; some must be shed
+        # with ServerOverloaded instead of buffering without bound
+        futures = [server.submit(text_embeds=emb) for _ in range(30)]
+        outcomes = []
+        for f in futures:
+            try:
+                f.result(timeout=300)
+                outcomes.append("ok")
+            except ServerOverloaded:
+                outcomes.append("shed")
+        assert "shed" in outcomes, "bounded queue must shed a 30-burst"
+        assert "ok" in outcomes, "admitted requests must still be served"
+        assert server.stats["shed"] == outcomes.count("shed")
+    finally:
+        server.close()
+
+
+def test_server_deadline_expiry(tiny_phenaki):
+    from phenaki_tpu.serving import DeadlineExceeded
+
+    server = PhenakiServer(
+        tiny_phenaki, num_frames=3, batch_buckets=(1,), max_delay_ms=1.0,
+    )
+    try:
+        emb = np.random.RandomState(4).randn(3, TEXT_DIM).astype(np.float32)
+        # occupy the dispatcher with a real request, then submit one whose
+        # deadline is already unreachable — it must fail, not hang
+        busy = server.submit(text_embeds=emb)
+        doomed = server.submit(text_embeds=emb, deadline=0.0)
+        with pytest.raises(DeadlineExceeded):
+            doomed.result(timeout=300)
+        busy.result(timeout=300)
+        assert server.stats["expired"] >= 1
+    finally:
+        server.close()
+
+
+def test_server_mixed_text_and_embeds_batch(tiny_phenaki):
+    """A batch mixing a text request with a text_embeds request must run
+    (text encoded in the dispatcher), not trip an assert (ADVICE r2)."""
+    server = PhenakiServer(
+        tiny_phenaki, num_frames=3, batch_buckets=(2,), max_delay_ms=500.0,
+    )
+    try:
+        emb = np.random.RandomState(5).randn(4, TEXT_DIM).astype(np.float32)
+        f_text = server.submit(text="a red square moving right")
+        f_emb = server.submit(text_embeds=emb)
+        v1, v2 = f_text.result(timeout=300), f_emb.result(timeout=300)
+        assert v1.shape == (3, 16, 16, 3) and v2.shape == (3, 16, 16, 3)
+        assert any(n == 2 for n, _ in server.launch_log), (
+            "mixed pair should coalesce into one launch"
+        )
+    finally:
+        server.close()
+
+
+def test_server_close_fails_stragglers(tiny_phenaki):
+    """Requests that race close() must get an exception, never hang."""
+    server = PhenakiServer(
+        tiny_phenaki, num_frames=3, batch_buckets=(1,), max_delay_ms=1.0,
+    )
+    emb = np.random.RandomState(6).randn(3, TEXT_DIM).astype(np.float32)
+    first = server.submit(text_embeds=emb)
+    server.close()
+    # after close: new submits fail fast with an exception
+    late = server.submit(text_embeds=emb)
+    with pytest.raises(Exception):
+        late.result(timeout=10)
+    # the in-flight request either completed or was failed — never pending
+    assert first.done() or first.exception(timeout=10) is not None
+
+
+def test_server_prewarm_compiles_buckets(tiny_phenaki):
+    server = PhenakiServer(
+        tiny_phenaki, num_frames=3, batch_buckets=(1, 2), max_delay_ms=1.0,
+    )
+    try:
+        server.prewarm()  # compiles both buckets; must not throw
+        emb = np.random.RandomState(7).randn(3, TEXT_DIM).astype(np.float32)
+        v = server.submit(text_embeds=emb).result(timeout=300)
+        assert v.shape == (3, 16, 16, 3)
+    finally:
+        server.close()
