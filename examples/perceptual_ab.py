@@ -1,18 +1,28 @@
-"""A/B: does the random-VGG perceptual term help reconstruction?
+"""A/B: which perceptual term helps reconstruction — and does 'disc' win?
 
 The reference uses a pretrained torchvision VGG16 for the perceptual loss
-(cvivit.py:345-351,635-648); this framework ships a faithful VGG16 with a
-verified torch-weight converter (tests/test_vgg_convert.py) but trains on
-fixed-seed RANDOM features when no weights are cached. VERDICT round 1 asked
-for the stand-in's value to be MEASURED, not asserted — this script trains
-the same small C-ViViT twice on a textured synthetic image set:
+(cvivit.py:345-351,635-648). With zero egress this framework has no
+pretrained weights: the shipped VGG16 (converter parity-tested in
+tests/test_vgg_convert.py) runs on fixed-seed RANDOM features, and round-2's
+isolated A/B measured that the random-VGG term HURTS (−0.4 to −1.7 dB PSNR).
 
-  A: recon MSE + vq aux only
-  B: recon MSE + vq aux + random-VGG perceptual (isolated: no GAN terms)
+Round-2 review #7 asked for a perceptual signal that measurably HELPS. The
+candidate is `perceptual_mode="disc"` (cvivit_losses.py): LPIPS-style
+matching of the IN-TRAINING discriminator's block features — learned on the
+user's own data, improving as training runs, no pretrained weights needed.
 
-and reports held-out PSNR for both. Run:
+This script trains the SAME small C-ViViT through the full CViViTTrainer GAN
+pipeline three times on a textured synthetic image set, changing ONLY the
+perceptual term:
+
+  none : recon MSE + vq aux + GAN (adaptive weight balances vs recon grad)
+  vgg  : + random-VGG perceptual (the reference formula, stand-in weights)
+  disc : + discriminator-feature perceptual (this framework's default)
+
+and reports held-out reconstruction PSNR for each. Run:
 
     python examples/perceptual_ab.py [--steps 600]
+    python examples/perceptual_ab.py --isolated   # round-2's no-GAN A/B
 
 Results are recorded in BASELINE.md ("Perceptual-term A/B").
 """
@@ -62,18 +72,111 @@ def textured_batch(key, batch, hw=64):
     return jnp.clip(img, 0.0, 1.0)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=600)
-    ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--lr", type=float, default=3e-4)
-    args = ap.parse_args()
+HW = 64
+
+CVIVIT_KWARGS = dict(
+    dim=128,
+    codebook_size=1024,
+    image_size=HW,
+    patch_size=8,
+    temporal_patch_size=2,
+    spatial_depth=2,
+    temporal_depth=2,
+    dim_head=32,
+    heads=4,
+    scan_layers=True,
+)
+
+
+def run_gan_ab(args):
+    """Full-trainer three-way: perceptual_mode in {none, vgg, disc}."""
+    import tempfile
 
     import jax
     import jax.numpy as jnp
-    import optax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench_cache")
+    from phenaki_tpu.models.cvivit import CViViT
+    from phenaki_tpu.training.cvivit_trainer import CViViTTrainer
+    from phenaki_tpu.utils.metrics import psnr
+
+    n_train = 512
+    train_images = np.asarray(
+        jax.jit(lambda k: textured_batch(k, n_train, HW))(jax.random.PRNGKey(1))
+    )
+    eval_batch = jax.jit(lambda k: textured_batch(k, 64, HW))(
+        jax.random.PRNGKey(10_000)
+    )
+
+    class TexturedDataset:
+        def __len__(self):
+            return n_train
+
+        def __getitem__(self, idx):
+            return train_images[idx]
+
+    def run_variant(mode: str) -> float:
+        cvivit = CViViT(**CVIVIT_KWARGS)
+        with tempfile.TemporaryDirectory() as results:
+            trainer = CViViTTrainer(
+                cvivit,
+                dataset=TexturedDataset(),
+                num_train_steps=args.steps,
+                batch_size=args.batch,
+                lr=args.lr,
+                train_on_images=True,
+                use_vgg_and_gan=True,
+                perceptual_mode=mode,
+                valid_frac=0.0,
+                save_results_every=10**9,
+                save_model_every=10**9,
+                results_folder=results,
+                use_ema=False,
+                seed=42,
+                log_every=200,
+            )
+            t0 = time.time()
+            for i in range(args.steps):
+                logs = trainer.train_step()
+                if i % 200 == 0:
+                    print(
+                        f"  [{mode}] step {i} loss {logs['loss']:.4f}"
+                        f" recon {logs['recon_loss']:.4f}"
+                        f" ({time.time() - t0:.0f}s)",
+                        flush=True,
+                    )
+            params = trainer.state["vae_params"]
+            recon, _, _ = jax.jit(
+                lambda p, b: cvivit.apply(
+                    {"params": p}, b, deterministic=True
+                )
+            )(params, eval_batch)
+            val = float(jax.device_get(psnr(eval_batch, jnp.clip(recon, 0.0, 1.0))))
+            trainer.checkpoints.close()
+        return val
+
+    results = {}
+    for mode in ("none", "vgg", "disc"):
+        results[mode] = run_variant(mode)
+        print(f"{mode:5s}: held-out PSNR {results[mode]:.2f} dB", flush=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "perceptual_gan_ab_psnr_db",
+                "gan_no_perceptual": round(results["none"], 2),
+                "gan_random_vgg": round(results["vgg"], 2),
+                "gan_disc_features": round(results["disc"], 2),
+                "steps": args.steps,
+            }
+        )
+    )
+
+
+def run_isolated_ab(args):
+    """Round-2's original A/B: recon-only vs +random-VGG, no GAN anywhere."""
+    import jax
+    import jax.numpy as jnp
+    import optax
 
     from phenaki_tpu.models.cvivit import CViViT
     from phenaki_tpu.models.cvivit_losses import masked_recon_loss
@@ -81,26 +184,14 @@ def main():
     from phenaki_tpu.utils.jit_init import jit_init
     from phenaki_tpu.utils.metrics import psnr
 
-    hw = 64
-    cvivit_kwargs = dict(
-        dim=128,
-        codebook_size=1024,
-        image_size=hw,
-        patch_size=8,
-        temporal_patch_size=2,
-        spatial_depth=2,
-        temporal_depth=2,
-        dim_head=32,
-        heads=4,
-        scan_layers=True,
-    )
+    hw = HW
     vgg, vgg_vars = init_vgg()
 
     eval_key = jax.random.PRNGKey(10_000)
     eval_batch = jax.jit(lambda k: textured_batch(k, 64, hw))(eval_key)
 
     def run_variant(use_perceptual: bool):
-        cvivit = CViViT(**cvivit_kwargs)
+        cvivit = CViViT(**CVIVIT_KWARGS)
         variables = jit_init(
             cvivit, jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3))
         )
@@ -174,6 +265,27 @@ def main():
             }
         )
     )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument(
+        "--isolated", action="store_true",
+        help="run round-2's no-GAN recon vs random-VGG A/B instead",
+    )
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench_cache")
+
+    if args.isolated:
+        run_isolated_ab(args)
+    else:
+        run_gan_ab(args)
 
 
 if __name__ == "__main__":

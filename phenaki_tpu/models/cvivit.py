@@ -70,6 +70,12 @@ class CViViT(nn.Module):
     # attention.py:138-142) — set True, with peg_reference_layout=True,
     # when loading converted reference checkpoints
     reference_attention_kv: bool = False
+    # sequence parallelism for the TEMPORAL transformers: self-attention over
+    # the frame axis runs as ring attention over this mesh axis (long scenes;
+    # see ops/attention.py seq_shard_mesh). Spatial attention stays dense
+    # (hw tokens per frame are small).
+    seq_shard_mesh: Optional[object] = None
+    seq_shard_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     # ------------------------------------------------------------------ #
@@ -191,6 +197,8 @@ class CViViT(nn.Module):
             remat=self.remat,
             scan_layers=self.scan_layers,
             attn_reference_self_kv=self.reference_attention_kv,
+            seq_shard_mesh=self.seq_shard_mesh,
+            seq_shard_axis=self.seq_shard_axis,
             dtype=self.dtype,
         )
 
@@ -458,8 +466,14 @@ class Discriminator(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        """x: (b, H, W, c) single frames -> (b,) logits."""
+    def __call__(self, x: jax.Array, return_features: bool = False):
+        """x: (b, H, W, c) single frames -> (b,) logits.
+
+        With `return_features=True` also returns the per-block activations
+        (list of (b, h, w, c) maps) — the feature stack behind the
+        discriminator-feature perceptual loss (cvivit_losses.py
+        `perceptual_mode='disc'`), an in-training substitute for the
+        reference's pretrained-VGG features (cvivit.py:345-351)."""
         image_size = pair(self.image_size)
         min_res = min(image_size)
         num_layers = int(math.log2(min_res) - 2)
@@ -469,6 +483,7 @@ class Discriminator(nn.Module):
         ]
         pairs = list(zip(layer_dims[:-1], layer_dims[1:]))
 
+        features = []
         resolution = min_res
         for ind, (_, out_chan) in enumerate(pairs):
             is_not_last = ind != (len(pairs) - 1)
@@ -488,10 +503,13 @@ class Discriminator(nn.Module):
                     + flat
                 )
                 x = flat.reshape(b, H, W, c)
+            features.append(x)
             resolution //= 2
 
         x = nn.Conv(x.shape[-1], (3, 3), padding=1, dtype=self.dtype, name="to_logits_conv")(x)
         x = nn.leaky_relu(x, negative_slope=0.1)
         x = x.reshape(x.shape[0], -1)
         x = nn.Dense(1, dtype=self.dtype, name="to_logits")(x)
+        if return_features:
+            return x[:, 0], features
         return x[:, 0]

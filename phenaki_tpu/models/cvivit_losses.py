@@ -82,6 +82,29 @@ def _lift_to_rgb(frame: jax.Array) -> jax.Array:
     return frame
 
 
+def disc_perceptual_features(discr: Discriminator, discr_vars, frame: jax.Array):
+    """LPIPS-style feature stack from the IN-TRAINING discriminator.
+
+    The reference's perceptual term needs pretrained VGG16 weights
+    (cvivit.py:345-351); with zero egress the shipped VGG runs on random
+    features, which MEASURABLY HURTS reconstruction (BASELINE.md perceptual
+    A/B: −0.4 to −1.7 dB PSNR). The discriminator is trained on exactly this
+    data distribution, so its block activations are a perceptual basis that
+    IMPROVES as training runs — the pix2pixHD-style feature-matching idea.
+    Each map is unit-normalized over channels (LPIPS normalization) so no
+    single layer/channel scale dominates."""
+    _, feats = discr.apply(discr_vars, frame, return_features=True)
+    out = []
+    for f in feats:
+        f = f.astype(jnp.float32)
+        out.append(f * jax.lax.rsqrt(jnp.sum(f * f, axis=-1, keepdims=True) + 1e-8))
+    return out
+
+
+def _disc_perceptual_loss(feats_a, feats_b) -> jax.Array:
+    return sum(jnp.mean((a - b) ** 2) for a, b in zip(feats_a, feats_b))
+
+
 # --------------------------- recon loss ----------------------------------- #
 
 
@@ -116,13 +139,23 @@ def cvivit_generator_loss(
     use_hinge_loss: bool = True,
     deterministic: bool = False,
     mutable_vq: bool = False,
+    perceptual_mode: str = "vgg",  # "vgg" | "disc" | "none"
 ):
     """Full generator-phase loss (reference cvivit.py:518-671 forward path).
 
     Returns ((loss, aux_dict), new_vq_state) where aux_dict has the loss
     breakdown and the reconstruction. `video`: (b, f, H, W, c) or image
     (b, H, W, c).
-    """
+
+    `perceptual_mode` (static) selects the perceptual term when the GAN suite
+    is on: "vgg" is the reference's VGG16 feature MSE (cvivit.py:635-648;
+    random features unless converted torchvision weights are loaded), "disc"
+    matches unit-normalized IN-TRAINING discriminator block features
+    (`disc_perceptual_features` — no pretrained weights needed, and the
+    measured A/B beats both random-VGG and recon-only), "none" drops the term
+    (the adaptive generator weight then balances against the recon-loss
+    gradient instead, keeping the reference's ||∂ref/∂W_pix||/||∂gen/∂W_pix||
+    construction meaningful)."""
     rng_frame, rng_dropout = jax.random.split(rng)
 
     mutable = ["vq_stats"] if mutable_vq else False
@@ -161,13 +194,32 @@ def cvivit_generator_loss(
         return (loss, aux), new_vq_state
 
     assert discr is not None and discr_vars is not None
-    assert vgg is not None and vgg_vars is not None
+    assert perceptual_mode in ("vgg", "disc", "none"), perceptual_mode
+    if perceptual_mode == "vgg":
+        assert vgg is not None and vgg_vars is not None
 
     b, f = video5.shape[:2]
     frame_indices = pick_random_frame_indices(rng_frame, b, f, mask)
     input_frame = pick_video_frame(video5, frame_indices)
 
-    vgg_input_feats = vgg.apply(vgg_vars, _lift_to_rgb(input_frame))
+    if perceptual_mode == "vgg":
+        input_feats = vgg.apply(vgg_vars, _lift_to_rgb(input_frame))
+    elif perceptual_mode == "disc":
+        input_feats = jax.lax.stop_gradient(
+            disc_perceptual_features(discr, discr_vars, input_frame)
+        )
+
+    def perceptual_of_frame(frame: jax.Array) -> jax.Array:
+        """Perceptual distance between `frame` and the input frame (static
+        mode dispatch — one branch is ever traced)."""
+        if perceptual_mode == "vgg":
+            feats = vgg.apply(vgg_vars, _lift_to_rgb(frame))
+            return jnp.mean(
+                (input_feats.astype(jnp.float32) - feats.astype(jnp.float32)) ** 2
+            )
+        return _disc_perceptual_loss(
+            input_feats, disc_perceptual_features(discr, discr_vars, frame)
+        )
 
     # functions of the pixel-head params only: decoder activations constant.
     # This is exactly what grad_layer_wrt_loss computes (cvivit.py:97-103) —
@@ -191,11 +243,11 @@ def cvivit_generator_loss(
 
     def perceptual_of(pp):
         r5 = recon_from_pixel_params(pp)
-        frame = pick_video_frame(r5, frame_indices)
-        feats = vgg.apply(vgg_vars, _lift_to_rgb(frame))
-        return jnp.mean(
-            (vgg_input_feats.astype(jnp.float32) - feats.astype(jnp.float32)) ** 2
-        )
+        if perceptual_mode == "none":
+            # adaptive-weight numerator falls back to the recon objective
+            # (taming-transformers' nll_loss role)
+            return masked_recon_loss(video5, r5, mask)
+        return perceptual_of_frame(pick_video_frame(r5, frame_indices))
 
     gen_loss_fn = hinge_gen_loss if use_hinge_loss else bce_gen_loss
 
@@ -206,10 +258,10 @@ def cvivit_generator_loss(
 
     # actual loss values, differentiable w.r.t. the full vae params
     recon_frame = pick_video_frame(recon5, frame_indices)
-    recon_vgg_feats = vgg.apply(vgg_vars, _lift_to_rgb(recon_frame))
-    perceptual_loss = jnp.mean(
-        (vgg_input_feats.astype(jnp.float32) - recon_vgg_feats.astype(jnp.float32)) ** 2
-    )
+    if perceptual_mode == "none":
+        perceptual_loss = jnp.asarray(0.0, jnp.float32)
+    else:
+        perceptual_loss = perceptual_of_frame(recon_frame)
     gen_loss = gen_loss_fn(discr.apply(discr_vars, recon_frame))
 
     # adaptive weight (detached, reference cvivit.py:654-662)

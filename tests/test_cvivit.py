@@ -131,6 +131,63 @@ def test_generator_loss_full_gan(model_and_vars):
     assert np.isfinite(float(aux["perceptual_loss"]))
 
 
+def test_generator_loss_disc_perceptual(model_and_vars):
+    """perceptual_mode='disc': LPIPS-style in-training discriminator features
+    replace the VGG — no vgg module needed, loss finite, and the perceptual
+    term's gradient reaches the full VAE params."""
+    model, variables = model_and_vars
+    discr = Discriminator(dim=4, image_size=16, attn_res_layers=())
+    video = jax.random.uniform(jax.random.PRNGKey(1), (1, 5, 16, 16, 3))
+    dvars = discr.init(jax.random.PRNGKey(4), jnp.zeros((1, 16, 16, 3)))
+
+    def f(params):
+        v = {**variables, "params": params}
+        (loss, aux), _ = L.cvivit_generator_loss(
+            model, v, video, jax.random.PRNGKey(3),
+            discr=discr, discr_vars=dvars,
+            deterministic=True, perceptual_mode="disc",
+        )
+        return loss, aux
+
+    (loss, aux), grads = jax.value_and_grad(f, has_aux=True)(variables["params"])
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(aux["perceptual_loss"]))
+    assert float(aux["perceptual_loss"]) > 0
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    assert sum(float(jnp.sum(jnp.abs(l))) for l in leaves) > 0
+
+
+def test_generator_loss_no_perceptual_mode(model_and_vars):
+    """perceptual_mode='none': GAN terms without a perceptual loss; the
+    adaptive weight balances against the recon gradient instead."""
+    model, variables = model_and_vars
+    discr = Discriminator(dim=4, image_size=16, attn_res_layers=())
+    video = jax.random.uniform(jax.random.PRNGKey(1), (1, 5, 16, 16, 3))
+    dvars = discr.init(jax.random.PRNGKey(4), jnp.zeros((1, 16, 16, 3)))
+    (loss, aux), _ = L.cvivit_generator_loss(
+        model, variables, video, jax.random.PRNGKey(3),
+        discr=discr, discr_vars=dvars,
+        deterministic=True, perceptual_mode="none",
+    )
+    assert np.isfinite(float(loss))
+    assert float(aux["perceptual_loss"]) == 0.0
+    assert np.isfinite(float(aux["adaptive_weight"]))
+
+
+def test_discriminator_return_features():
+    discr = Discriminator(dim=4, image_size=16, attn_res_layers=())
+    dvars = discr.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    logits, feats = discr.apply(dvars, x, return_features=True)
+    assert logits.shape == (2,)
+    assert len(feats) >= 2  # one per block
+    assert all(f.shape[0] == 2 for f in feats)
+    # plain call unchanged
+    logits2 = discr.apply(dvars, x)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2))
+
+
 def test_generator_loss_differentiable(model_and_vars):
     model, variables = model_and_vars
     video = jax.random.uniform(jax.random.PRNGKey(1), (1, 5, 16, 16, 3))
