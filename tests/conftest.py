@@ -22,7 +22,29 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 
-# persistent compilation cache: repeated test runs skip XLA recompiles
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+# persistent compilation cache: repeated test runs skip XLA recompiles.
+# Keyed by the HOST's CPU features: XLA:CPU AOT executables bake in the
+# compile machine's ISA (avx512 variants etc.) and loading one on a
+# different host SIGILL/aborts ("Fatal Python error: Aborted" mid-suite) —
+# CI/driver sessions migrate between machines, so a shared dir is unsafe.
+import hashlib
+
+
+def _host_cache_tag() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+
+
+jax.config.update(
+    "jax_compilation_cache_dir", f"/root/.cache/jax_test_cache_{_host_cache_tag()}"
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
