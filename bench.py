@@ -85,11 +85,64 @@ def _time_steady(fn, iters: int = 8):
     return dt
 
 
-def _emit(metric: str, value: float, unit: str, vs_baseline=None) -> None:
+def _emit(metric: str, value: float, unit: str, vs_baseline=None, mfu=None) -> None:
     row = {"metric": metric, "value": round(value, 3), "unit": unit}
     if vs_baseline is not None:
         row["vs_baseline"] = round(vs_baseline, 3)
+    if mfu is not None:
+        row["mfu"] = round(mfu, 3)
     print(json.dumps(row), flush=True)
+
+
+# ---------------------------------------------------------------------- #
+# MFU accounting (VERDICT r2 #1/#2: an MFU column on every perf row)      #
+# ---------------------------------------------------------------------- #
+
+# v5e bf16 MXU peak; override for other chips (v4: 275e12, v5p: 459e12)
+PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
+
+
+def _mfu(flops: float, seconds: float) -> float:
+    return flops / seconds / PEAK_FLOPS
+
+
+def _maskgit_fwd_flops(
+    b, n, d=512, depth=6, heads=8, dh=64, m_ctx=50, d_ctx=768
+) -> float:
+    """Analytic matmul FLOPs of one MaskGit/TokenCritic trunk forward
+    (2 FLOPs per MAC). Counts projections, attention score/value matmuls,
+    cross-attention, and the GEGLU FF; omits norms/embeds/PEG (<2%), so MFU
+    derived from this is a slight UNDERestimate."""
+    inner = heads * dh
+    f = 0.0
+    f += 2 * b * n * d * inner * 3 + 2 * b * n * inner * d  # self qkv + out
+    f += 4 * b * heads * n * n * dh  # qk^T and p@v
+    f += (  # cross-attention: q, k/v from context, out, score/value matmuls
+        2 * b * n * d * inner
+        + 4 * b * m_ctx * d_ctx * inner
+        + 2 * b * n * inner * d
+        + 4 * b * heads * n * m_ctx * dh
+    )
+    ff = int(4 * d * 2 / 3)
+    f += 4 * b * n * d * ff + 2 * b * n * ff * d  # GEGLU: 2 in-projs + out
+    return f * depth
+
+
+def _vocab_proj_flops(b, n, d=512, v=65536) -> float:
+    return 2.0 * b * n * d * v
+
+
+def _jit_cost_flops(jitted, *args, **kwargs):
+    """XLA's own FLOP count for a jitted callable, or None if the backend
+    doesn't expose cost analysis."""
+    try:
+        ca = jitted.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
 
 
 def main():
@@ -176,11 +229,17 @@ def main():
     )
     _stage("sampling benched")
     target = 17 / 2.0  # north star: 17 frames in < 2 s per chip
+    # analytic FLOPs per sample: 18 decode steps x (CFG-stacked trunk fwd at
+    # 2b + fused vocab projection at b); C-ViViT decode (~0.1 TF) omitted
+    flops_sample_b1 = steps * (
+        _maskgit_fwd_flops(2, n_tokens) + _vocab_proj_flops(1, n_tokens)
+    )
     _emit(
         "sampled_frames_per_sec_per_chip_17f_256x128_18steps",
         num_frames / dt,
         "frames/s/chip",
         vs_baseline=(num_frames / dt) / target,
+        mfu=_mfu(flops_sample_b1, dt),
     )
     if full:
         # single-request latency (includes one tunnel round trip per call)
@@ -212,7 +271,13 @@ def main():
         lambda v: cvivit.apply(cvivit_vars, v, return_only_codebook_ids=True)
     )
     dt = _time_steady(lambda i: tokenize(videos_tok), iters=8)
-    _emit("cvivit_tokenize_vids_per_sec_b32_17f_256x128", B_tok / dt, "vids/s/chip")
+    tok_flops = _jit_cost_flops(tokenize, videos_tok)
+    _emit(
+        "cvivit_tokenize_vids_per_sec_b32_17f_256x128",
+        B_tok / dt,
+        "vids/s/chip",
+        mfu=_mfu(tok_flops, dt) if tok_flops else None,
+    )
 
     # ------------------------------------------------------------------ #
     # 3. C-ViViT GAN trainer step (gen+discr phases, VGG perceptual,      #
@@ -263,10 +328,29 @@ def main():
 
         _fetch_scalar(gan_once(4))  # compile+warm the no-penalty variant too
         dt = _time_steady(gan_once, iters=8)
+        # XLA's FLOP count for both phases (gen + discr with the R1 branch;
+        # the traced-flag cond means one executable covers both mixes)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(201))
+        gan_flops = None
+        g1 = _jit_cost_flops(
+            gan_trainer._gen_step, gan_trainer.state, gan_trainer.vgg_vars,
+            batch_gan, k1,
+        )
+        g2 = _jit_cost_flops(
+            gan_trainer._discr_step, gan_trainer.state, batch_gan, k2,
+            apply_grad_penalty=jnp.asarray(True),
+        )
+        if g1 and g2:
+            gan_flops = g1 + g2
         gan_trainer.checkpoints.close()
         del gan_trainer, gan_once, batch_gan
     gc.collect()
-    _emit("cvivit_gan_train_step_vids_per_sec_b4_17f_256x128", B_tr / dt, "vids/s/chip")
+    _emit(
+        "cvivit_gan_train_step_vids_per_sec_b4_17f_256x128",
+        B_tr / dt,
+        "vids/s/chip",
+        mfu=_mfu(gan_flops, dt) if gan_flops else None,
+    )
 
     # ------------------------------------------------------------------ #
     # 4. MaskGit train step (B=4, full fwd+bwd+Adam via the trainer's     #
@@ -307,6 +391,18 @@ def main():
             return metrics["loss"]
 
         dt = _time_steady(train_once, iters=6)
+        # XLA count if available; else analytic fwd+bwd (~3x fwd) + fused CE
+        # (fwd + dW + dh ~ 3x the projection)
+        train_flops = _jit_cost_flops(
+            trainer._train_step, trainer.state, (videos_tr, ctx_tr),
+            jax.random.PRNGKey(100), phenaki.cvivit_vars,
+            fields=("videos", "text_embeds"),
+        )
+        if not train_flops:
+            train_flops = 3 * (
+                _maskgit_fwd_flops(B_tr, n_tokens)
+                + _vocab_proj_flops(B_tr, n_tokens)
+            )
         trainer.checkpoints.close()
         # release the trainer's device state (params + Adam moments +
         # MultiSteps ~2-3 GB at the 65536-vocab flagship) before the later
@@ -314,7 +410,12 @@ def main():
         # step collapses ~30x from allocator thrashing
         del trainer, train_once
     gc.collect()
-    _emit("maskgit_train_step_vids_per_sec_b4_17f_256x128", B_tr / dt, "vids/s/chip")
+    _emit(
+        "maskgit_train_step_vids_per_sec_b4_17f_256x128",
+        B_tr / dt,
+        "vids/s/chip",
+        mfu=_mfu(train_flops, dt),
+    )
 
     # ------------------------------------------------------------------ #
     # 5. sampling with TokenCritic (extra critic CFG forward per step)    #
@@ -354,11 +455,14 @@ def main():
         ),
         iters=6,
     )
+    # per decode step the critic adds its own CFG-stacked trunk forward
+    critic_flops = flops_sample_b1 + steps * _maskgit_fwd_flops(2, n_tokens)
     _emit(
         "sampled_frames_per_sec_per_chip_with_token_critic",
         num_frames / dt,
         "frames/s/chip",
         vs_baseline=(num_frames / dt) / target,
+        mfu=_mfu(critic_flops, dt),
     )
 
     # ------------------------------------------------------------------ #
@@ -378,11 +482,15 @@ def main():
     )
     del phenaki_c, critic
     gc.collect()
+    flops_sample_b8 = steps * (
+        _maskgit_fwd_flops(2 * B_s, n_tokens) + _vocab_proj_flops(B_s, n_tokens)
+    )
     _emit(
         "batched_sampling_frames_per_sec_per_chip_b8",
         B_s * num_frames / dt,
         "frames/s/chip",
         vs_baseline=(B_s * num_frames / dt) / target,
+        mfu=_mfu(flops_sample_b8, dt),
     )
     _emit("batched_sampling_videos_per_sec_b8", B_s / dt, "videos/s/chip")
 

@@ -1,0 +1,454 @@
+"""Quality-parity benchmark: reference (torch, CPU) vs phenaki_tpu, SAME data.
+
+Round-2 review #3: "exists" isn't "proven equivalent" — train the reference's
+own code and this framework on the same tiny video set with matched
+hyperparameters and compare what the user cares about:
+
+  1. C-ViViT tokenizer: reconstruction PSNR after N steps of recon-only
+     training (`use_vgg_and_gan=False` both sides — the reference's
+     grayscale/no-GAN path, cvivit.py:629-633).
+  2. MaskGit: masked-token cross-entropy on held-out token sequences after N
+     steps, both sides fed the IDENTICAL (codebook_ids, text_embeds) batches.
+
+Matched on both sides: data (same numpy arrays, same order), model dims,
+Adam(lr, betas=(0.9, 0.99), wd=0) via each side's own `get_optimizer`,
+batch size, step count, cond_drop_prob=0 for MaskGit (the reference hard-sets
+0 during training — its quirk Q1, phenaki_pytorch.py:594; we match it here so
+the comparison isolates the frameworks, not the bugfix).
+
+Deliberately NOT matched (each side runs its own code): parameter init
+streams, masking rng, the quantizer aux losses (the reference's recon-only
+path drops vq_aux_loss entirely, cvivit.py:629-633; ours keeps the LFQ
+entropy/commitment terms — part of the product).
+
+The reference's LFQ comes from the unavailable `vector-quantize-pytorch`
+dependency; `TorchLFQ` below is a functional torch stand-in implementing the
+same quantizer semantics as ours (ops/quantize.py LFQ: sign codes,
+straight-through, projections when dim != log2(K)) so the reference model
+trains for real. Every other reference number comes from the reference's own
+torch code via tests/_reference_stubs.py.
+
+Run (CPU, ~10-20 min):  python examples/quality_parity.py
+Writes results JSON to stdout; PARITY.md records the numbers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
+
+import numpy as np
+
+# ---------------------------------------------------------------------- #
+# shared synthetic dataset: bright squares moving in random directions    #
+# ---------------------------------------------------------------------- #
+
+IMG = 16
+FRAMES = 5  # 1 + 2*temporal_patch_size
+N_TRAIN, N_EVAL = 64, 16
+DIRS = np.asarray([(0, 1), (0, -1), (1, 0), (-1, 0)], np.int64)
+
+
+def make_videos(n: int, seed: int) -> np.ndarray:
+    """(n, f, h, w, 3) float32 in [0, 1] — channels-last (ours); the torch
+    side transposes to (n, 3, f, h, w)."""
+    rs = np.random.RandomState(seed)
+    out = np.zeros((n, FRAMES, IMG, IMG, 3), np.float32)
+    for i in range(n):
+        d = DIRS[rs.randint(4)]
+        y, x = rs.randint(3, IMG - 6, size=2)
+        color = 0.4 + 0.6 * rs.rand(3)
+        for f in range(FRAMES):
+            yy = int(np.clip(y + d[0] * f, 0, IMG - 4))
+            xx = int(np.clip(x + d[1] * f, 0, IMG - 4))
+            out[i, f, yy : yy + 4, xx : xx + 4] = color
+        out[i] += 0.05 * rs.rand(FRAMES, IMG, IMG, 3)
+    return np.clip(out, 0.0, 1.0)
+
+
+def psnr_np(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    return 10.0 * math.log10(1.0 / max(mse, 1e-12))
+
+
+# ---------------------------------------------------------------------- #
+# torch LFQ stand-in (vector-quantize-pytorch is not installed)           #
+# ---------------------------------------------------------------------- #
+
+
+def make_torch_lfq():
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class TorchLFQ(nn.Module):
+        """Functional LFQ matching phenaki_tpu/ops/quantize.py semantics:
+        sign codes over log2(K) dims, straight-through, entropy + commitment
+        aux losses, project_in/out when dim != bits. Same call surface as
+        the vector-quantize-pytorch LFQ the reference imports
+        (cvivit.py:17,319,438-439)."""
+
+        def __init__(self, dim, codebook_size, entropy_loss_weight=0.1,
+                     commitment_loss_weight=0.25, diversity_gamma=1.0,
+                     inv_temperature=100.0, **_):
+            super().__init__()
+            bits = int(round(math.log2(codebook_size)))
+            assert 2 ** bits == codebook_size
+            self.bits, self.dim = bits, dim
+            self.entropy_loss_weight = entropy_loss_weight
+            self.commitment_loss_weight = commitment_loss_weight
+            self.diversity_gamma = diversity_gamma
+            self.inv_temperature = inv_temperature
+            self.has_projections = dim != bits
+            if self.has_projections:
+                self.project_in = nn.Linear(dim, bits, bias=False)
+                self.project_out = nn.Linear(bits, dim, bias=False)
+            codebook = (
+                ((torch.arange(codebook_size)[:, None] >> torch.arange(bits)[None]) & 1)
+                .float() * 2.0 - 1.0
+            )
+            self.register_buffer("codebook_vals", codebook)
+
+        def forward(self, x, mask=None):
+            z = self.project_in(x) if self.has_projections else x
+            z = z.float()
+            codes = torch.where(z > 0, 1.0, -1.0)
+            powers = (2 ** torch.arange(self.bits, device=z.device)).long()
+            indices = ((z > 0).long() * powers).sum(-1)
+            quantized = z + (codes - z).detach()
+
+            logits = z @ self.codebook_vals.t() * self.inv_temperature
+            probs = logits.softmax(-1)
+            plogp = torch.where(probs > 1e-12, probs * probs.clamp_min(1e-12).log(), torch.zeros_like(probs))
+            per_sample_entropy = (-plogp.sum(-1)).mean()
+            avg_probs = probs.reshape(-1, probs.shape[-1]).mean(0)
+            codebook_entropy = -(avg_probs * avg_probs.clamp_min(1e-12).log()).sum()
+            entropy_aux = per_sample_entropy - self.diversity_gamma * codebook_entropy
+            commit = F.mse_loss(z, codes.detach())
+            aux = self.entropy_loss_weight * entropy_aux + self.commitment_loss_weight * commit
+
+            out = quantized
+            if self.has_projections:
+                out = self.project_out(out)
+            return out, indices, aux
+
+        def indices_to_codes(self, indices):
+            import torch
+
+            powers = 2 ** torch.arange(self.bits, device=indices.device)
+            codes = ((indices[..., None] & powers) > 0).float() * 2.0 - 1.0
+            if self.has_projections:
+                codes = self.project_out(codes)
+            return codes
+
+    return TorchLFQ
+
+
+# ---------------------------------------------------------------------- #
+# reference side                                                          #
+# ---------------------------------------------------------------------- #
+
+
+def run_reference_cvivit(train, evals, steps, batch, lr, seed):
+    import torch
+
+    from _reference_stubs import install_reference_stubs
+
+    assert install_reference_stubs()
+    import vector_quantize_pytorch as vq_mod
+
+    vq_mod.LFQ = make_torch_lfq()  # functional stand-in, see module docstring
+    for m in list(sys.modules):
+        if m.startswith("phenaki_pytorch"):
+            del sys.modules[m]
+    from phenaki_pytorch.cvivit import CViViT as RefCViViT
+    from phenaki_pytorch.optimizer import get_optimizer as ref_get_optimizer
+
+    torch.manual_seed(seed)
+    model = RefCViViT(
+        dim=32, codebook_size=256, image_size=IMG, patch_size=8,
+        temporal_patch_size=2, spatial_depth=1, temporal_depth=1,
+        dim_head=16, heads=2, use_vgg_and_gan=False,
+    )
+    opt = ref_get_optimizer(model.parameters(), lr=lr, wd=0.0)
+
+    t_train = torch.from_numpy(train.transpose(0, 4, 1, 2, 3)).contiguous()
+    t_eval = torch.from_numpy(evals.transpose(0, 4, 1, 2, 3)).contiguous()
+
+    t0 = time.time()
+    model.train()
+    for s in range(steps):
+        idx = np.arange(s * batch, (s + 1) * batch) % len(train)
+        loss = model(t_train[idx])
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    train_s = time.time() - t0
+
+    model.eval()
+    with torch.no_grad():
+        recon = model(t_eval, return_recons_only=True)
+    p = psnr_np(
+        np.clip(recon.numpy(), 0, 1).transpose(0, 2, 3, 4, 1), evals
+    )
+    return {"recon_psnr_db": p, "train_seconds": train_s}
+
+
+def run_reference_maskgit(ids_train, ids_eval, emb_train, emb_eval, steps,
+                          batch, lr, seed, num_tokens, eval_reps):
+    import torch
+
+    from _reference_stubs import install_reference_stubs
+
+    assert install_reference_stubs()
+    import vector_quantize_pytorch as vq_mod
+
+    vq_mod.LFQ = make_torch_lfq()
+    for m in list(sys.modules):
+        if m.startswith("phenaki_pytorch"):
+            del sys.modules[m]
+    from phenaki_pytorch.cvivit import CViViT as RefCViViT
+    from phenaki_pytorch.phenaki_pytorch import MaskGit as RefMaskGit
+    from phenaki_pytorch.phenaki_pytorch import Phenaki as RefPhenaki
+    from phenaki_pytorch.optimizer import get_optimizer as ref_get_optimizer
+
+    torch.manual_seed(seed)
+    cvivit = RefCViViT(
+        dim=32, codebook_size=256, image_size=IMG, patch_size=8,
+        temporal_patch_size=2, spatial_depth=1, temporal_depth=1,
+        dim_head=16, heads=2, use_vgg_and_gan=False,
+    )
+    maskgit = RefMaskGit(
+        num_tokens=num_tokens, max_seq_len=ids_train.shape[1] * 4, dim=64,
+        depth=2, heads=2, dim_head=32, dim_context=32,
+    )
+    phenaki = RefPhenaki(
+        maskgit=maskgit, cvivit=cvivit, text_embed_dim=32,
+        t5_name="google/t5-v1_1-base",
+    )
+    opt = ref_get_optimizer(maskgit.parameters(), lr=lr, wd=0.0)
+
+    t_ids = torch.from_numpy(ids_train).long()
+    t_emb = torch.from_numpy(emb_train).float()
+    e_ids = torch.from_numpy(ids_eval).long()
+    e_emb = torch.from_numpy(emb_eval).float()
+
+    t0 = time.time()
+    phenaki.train()
+    for s in range(steps):
+        idx = np.arange(s * batch, (s + 1) * batch) % len(ids_train)
+        loss = phenaki(video_codebook_ids=t_ids[idx], text_embeds=t_emb[idx])
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    train_s = time.time() - t0
+
+    # eval masked-CE, averaged over eval_reps random maskings (each side
+    # draws its own masks; the average is the comparable quantity)
+    phenaki.eval()
+    ces = []
+    with torch.no_grad():
+        for r in range(eval_reps):
+            torch.manual_seed(10_000 + r)
+            ces.append(float(phenaki(video_codebook_ids=e_ids, text_embeds=e_emb)))
+    return {"eval_masked_ce": float(np.mean(ces)), "train_seconds": train_s}
+
+
+# ---------------------------------------------------------------------- #
+# phenaki_tpu side                                                        #
+# ---------------------------------------------------------------------- #
+
+
+def run_ours_cvivit(train, evals, steps, batch, lr, seed):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from phenaki_tpu.models.cvivit import CViViT
+    from phenaki_tpu.models.cvivit_losses import cvivit_generator_loss
+    from phenaki_tpu.training.optimizer import get_optimizer
+    from phenaki_tpu.utils.jit_init import jit_init
+
+    model = CViViT(
+        dim=32, codebook_size=256, image_size=IMG, patch_size=8,
+        temporal_patch_size=2, spatial_depth=1, temporal_depth=1,
+        dim_head=16, heads=2,
+    )
+    rng = jax.random.PRNGKey(seed)
+    variables = jit_init(model, rng, jnp.asarray(train[:1]))
+    params = variables["params"]
+    opt = get_optimizer(lr=lr, wd=0.0)
+    opt_state = jax.jit(opt.init)(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, videos, key):
+        def loss_fn(p):
+            (loss, aux), _ = cvivit_generator_loss(
+                model, {"params": p}, videos, key, use_vgg_and_gan=False
+            )
+            return loss, aux
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    t_train = jnp.asarray(train)
+    t0 = time.time()
+    for s in range(steps):
+        idx = np.arange(s * batch, (s + 1) * batch) % len(train)
+        key = jax.random.fold_in(rng, s)
+        params, opt_state, loss = step_fn(
+            params, opt_state, t_train[idx], key
+        )
+    jax.block_until_ready(loss)
+    train_s = time.time() - t0
+
+    recon = jax.jit(
+        lambda p, v: model.apply({"params": p}, v)[0]
+    )(params, jnp.asarray(evals))
+    p = psnr_np(np.clip(np.asarray(recon), 0, 1), evals)
+    return {"recon_psnr_db": p, "train_seconds": train_s}
+
+
+def run_ours_maskgit(ids_train, ids_eval, emb_train, emb_eval, steps, batch,
+                     lr, seed, num_tokens, eval_reps, cvivit, cvivit_vars):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from phenaki_tpu.models.maskgit import MaskGit
+    from phenaki_tpu.models.phenaki import Phenaki
+    from phenaki_tpu.training.optimizer import get_optimizer
+
+    maskgit = MaskGit(
+        dim=64, num_tokens=num_tokens, max_seq_len=ids_train.shape[1] * 4,
+        depth=2, heads=2, dim_head=32, dim_context=32,
+    )
+    phenaki = Phenaki(
+        maskgit=maskgit, cvivit=cvivit, cvivit_vars=cvivit_vars,
+        text_embed_dim=32,
+    )
+    params = phenaki.init(jax.random.PRNGKey(seed))
+    opt = get_optimizer(lr=lr, wd=0.0)
+    opt_state = jax.jit(opt.init)(params)
+
+    patch = (3, 2, 2)  # 5 frames @ tp 2 -> 3 latent frames, 2x2 spatial
+
+    @jax.jit
+    def step_fn(params, opt_state, ids, emb, key):
+        def loss_fn(p):
+            # cond_drop_prob=0.0 matches the reference's (quirky) training
+            # behavior — see module docstring
+            return phenaki.loss(
+                p, key, video_codebook_ids=ids.reshape(-1, *patch),
+                text_embeds=emb, cond_drop_prob=0.0,
+            )
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def eval_fn(params, ids, emb, key):
+        _, metrics = phenaki.loss(
+            params, key, video_codebook_ids=ids.reshape(-1, *patch),
+            text_embeds=emb, cond_drop_prob=0.0, train=False,
+        )
+        return metrics["maskgit_loss"]
+
+    t_ids, t_emb = jnp.asarray(ids_train), jnp.asarray(emb_train)
+    e_ids, e_emb = jnp.asarray(ids_eval), jnp.asarray(emb_eval)
+    rng = jax.random.PRNGKey(seed + 77)
+
+    t0 = time.time()
+    for s in range(steps):
+        idx = np.arange(s * batch, (s + 1) * batch) % len(ids_train)
+        params, opt_state, loss = step_fn(
+            params, opt_state, t_ids[idx], t_emb[idx], jax.random.fold_in(rng, s)
+        )
+    jax.block_until_ready(loss)
+    train_s = time.time() - t0
+
+    ces = [
+        float(eval_fn(params, e_ids, e_emb, jax.random.PRNGKey(10_000 + r)))
+        for r in range(eval_reps)
+    ]
+    return {"eval_masked_ce": float(np.mean(ces)), "train_seconds": train_s}
+
+
+# ---------------------------------------------------------------------- #
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--eval-reps", type=int, default=16)
+    ap.add_argument("--skip-maskgit", action="store_true")
+    args = ap.parse_args()
+
+    train = make_videos(N_TRAIN, seed=0)
+    evals = make_videos(N_EVAL, seed=1)
+
+    print("== C-ViViT recon-only training ==", flush=True)
+    ref_cv = run_reference_cvivit(train, evals, args.steps, args.batch, args.lr, 0)
+    print(f"reference: {ref_cv}", flush=True)
+    ours_cv = run_ours_cvivit(train, evals, args.steps, args.batch, args.lr, 0)
+    print(f"ours:      {ours_cv}", flush=True)
+
+    results = {"cvivit": {"reference": ref_cv, "ours": ours_cv}}
+
+    if not args.skip_maskgit:
+        # shared ids: tokenize BOTH sides' maskgit data with one fixed
+        # tokenizer (ours, trained above is not needed — an UNTRAINED
+        # tokenizer gives a fixed deterministic ids dataset; what matters is
+        # both maskgits see identical sequences)
+        import jax
+        import jax.numpy as jnp
+
+        from phenaki_tpu.models.cvivit import CViViT
+        from phenaki_tpu.utils.jit_init import jit_init
+
+        cvivit = CViViT(
+            dim=32, codebook_size=256, image_size=IMG, patch_size=8,
+            temporal_patch_size=2, spatial_depth=1, temporal_depth=1,
+            dim_head=16, heads=2,
+        )
+        cvv = jit_init(cvivit, jax.random.PRNGKey(0), jnp.asarray(train[:1]))
+        tok = jax.jit(
+            lambda v: cvivit.apply(cvv, v, return_only_codebook_ids=True)
+        )
+        ids_train = np.asarray(tok(jnp.asarray(train))).reshape(N_TRAIN, -1)
+        ids_eval = np.asarray(tok(jnp.asarray(evals))).reshape(N_EVAL, -1)
+
+        rs = np.random.RandomState(42)
+        emb_train = rs.randn(N_TRAIN, 8, 32).astype(np.float32)
+        emb_eval = rs.randn(N_EVAL, 8, 32).astype(np.float32)
+
+        print("== MaskGit masked-CE training (identical ids/embeds) ==", flush=True)
+        ref_mg = run_reference_maskgit(
+            ids_train.reshape(-1, 3, 2, 2), ids_eval.reshape(-1, 3, 2, 2),
+            emb_train, emb_eval, args.steps, args.batch, args.lr, 0, 256,
+            args.eval_reps,
+        )
+        print(f"reference: {ref_mg}", flush=True)
+        ours_mg = run_ours_maskgit(
+            ids_train, ids_eval, emb_train, emb_eval, args.steps, args.batch,
+            args.lr, 0, 256, args.eval_reps, cvivit, cvv,
+        )
+        print(f"ours:      {ours_mg}", flush=True)
+        results["maskgit"] = {"reference": ref_mg, "ours": ours_mg}
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
