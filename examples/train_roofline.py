@@ -86,26 +86,33 @@ def main():
 
     results = []
 
-    def timed(name, body, flops=None, reps=args.reps):
-        """body(rng_key) -> pytree; timed via in-jit scan over fresh keys."""
+    def timed(name, body, *operands, flops=None, reps=args.reps):
+        """body(rng_key, *operands) -> pytree; timed via in-jit scan over
+        fresh keys. Big arrays (params, weights) MUST come in via `operands`
+        — closed-over they are baked into the HLO as constants, which blows
+        the remote-compile body limit and defeats buffer reuse."""
 
         @jax.jit
-        def many(k0):
+        def many(k0, *ops):
             def step(c, k):
-                out = body(k)
-                # fold a scalar of the output into the carry so no iteration
-                # is dead code
-                leaf = jax.tree_util.tree_leaves(out)[0]
-                return c + leaf.ravel()[0].astype(jnp.float32), None
+                out = body(k, *ops)
+                # fold one scalar from EVERY output leaf into the carry: a
+                # single-leaf probe lets XLA dead-code-eliminate the other
+                # gradients (measured fwd+bwd "faster" than fwd)
+                s = sum(
+                    leaf.ravel()[0].astype(jnp.float32)
+                    for leaf in jax.tree_util.tree_leaves(out)
+                )
+                return c + s, None
 
             c, _ = jax.lax.scan(
                 step, jnp.float32(0), jax.random.split(k0, reps)
             )
             return c
 
-        np.asarray(jax.device_get(many(jax.random.PRNGKey(7))))  # compile+warm
+        np.asarray(jax.device_get(many(jax.random.PRNGKey(7), *operands)))
         t0 = time.perf_counter()
-        np.asarray(jax.device_get(many(jax.random.PRNGKey(8))))
+        np.asarray(jax.device_get(many(jax.random.PRNGKey(8), *operands)))
         ms = (time.perf_counter() - t0) / reps * 1e3
         row = {"component": name, "ms": round(ms, 2)}
         if flops is not None:
@@ -119,24 +126,30 @@ def main():
     ce_flops = _vocab_proj_flops(B, n)
 
     # ---------------- MaskGit train-step components ---------------- #
-    mg_vars = {"params": params["maskgit"]}
-
     patch = (9, 16, 8)  # 17 frames -> 9 latent x 16 x 8 = 1152 tokens
 
-    def trunk_fwd(k):
-        # same call the loss makes (embeddings out; CE fused separately)
+    def cpb_bias(k, mgp):
         return maskgit.apply(
-            mg_vars, ids, video_patch_shape=patch, context=ctx,
+            {"params": mgp}, patch, method=MaskGit.rel_pos_bias
+        )
+
+    timed("cpb_bias_mlp", cpb_bias, params["maskgit"])
+
+    def trunk_fwd(k, mgp):
+        # same call the loss makes (embeddings out; CE fused separately;
+        # CPB computed inside, as in the training forward)
+        return maskgit.apply(
+            {"params": mgp}, ids, video_patch_shape=patch, context=ctx,
             return_embeds=True, rngs={"cond_drop": k, "dropout": k},
         )
 
-    timed("maskgit_trunk_fwd_b4", trunk_fwd, flops=fwd_flops)
+    timed("maskgit_trunk_fwd_b4", trunk_fwd, params["maskgit"], flops=fwd_flops)
 
     cot = jax.jit(lambda k: jax.random.normal(k, (B, n, 512), dtype))(
         jax.random.PRNGKey(9)
     )
 
-    def trunk_fwd_bwd(k):
+    def trunk_fwd_bwd(k, mgp):
         def f(p):
             h = maskgit.apply(
                 {"params": p}, ids, video_patch_shape=patch, context=ctx,
@@ -144,9 +157,12 @@ def main():
             )
             return jnp.sum(h.astype(jnp.float32) * cot.astype(jnp.float32))
 
-        return jax.grad(f)(params["maskgit"])
+        return jax.grad(f)(mgp)
 
-    timed("maskgit_trunk_fwd_bwd_b4", trunk_fwd_bwd, flops=3 * fwd_flops)
+    timed(
+        "maskgit_trunk_fwd_bwd_b4", trunk_fwd_bwd, params["maskgit"],
+        flops=3 * fwd_flops,
+    )
 
     # fused CE kernel (fwd and fwd+bwd), exactly as the loss uses it
     from phenaki_tpu.ops.pallas_ce import fused_vocab_cross_entropy
@@ -154,42 +170,38 @@ def main():
     w_out = params["maskgit"]["to_logits"]["kernel"]
     b_out = params["maskgit"]["to_logits"]["bias"]
 
-    def ce_fwd(k):
+    def ce_fwd(k, w):
         labels = jax.random.randint(k, (B, n), 0, 65536)
-        return fused_vocab_cross_entropy(h_emb, w_out, b_out, labels)
+        return fused_vocab_cross_entropy(h_emb, w, b_out, labels)
 
-    timed("fused_ce_fwd_b4", ce_fwd, flops=ce_flops)
+    timed("fused_ce_fwd_b4", ce_fwd, w_out, flops=ce_flops)
 
-    def ce_fwd_bwd(k):
+    def ce_fwd_bwd(k, w):
         labels = jax.random.randint(k, (B, n), 0, 65536)
 
-        def f(h, w, b):
-            return jnp.mean(fused_vocab_cross_entropy(h, w, b, labels))
+        def f(h, w2, b):
+            return jnp.mean(fused_vocab_cross_entropy(h, w2, b, labels))
 
-        return jax.grad(f, argnums=(0, 1, 2))(h_emb, w_out, b_out)
+        return jax.grad(f, argnums=(0, 1, 2))(h_emb, w, b_out)
 
-    timed("fused_ce_fwd_bwd_b4", ce_fwd_bwd, flops=3 * ce_flops)
+    timed("fused_ce_fwd_bwd_b4", ce_fwd_bwd, w_out, flops=3 * ce_flops)
 
-    def tokenize(k):
-        return cvivit.apply(
-            cvivit_vars, videos, return_only_codebook_ids=True
-        )
+    def tokenize(k, cvv, v):
+        return cvivit.apply(cvv, v, return_only_codebook_ids=True)
 
-    timed("cvivit_tokenize_b4", tokenize)
+    timed("cvivit_tokenize_b4", tokenize, cvivit_vars, videos)
 
     # full loss fwd+bwd (= the gradient work of the train step)
-    def loss_grad(k):
+    def loss_grad(k, p_all, v):
         def f(p):
-            loss, _ = phenaki.loss(
-                p, k, videos=videos, text_embeds=ctx, train=True
-            )
+            loss, _ = phenaki.loss(p, k, videos=v, text_embeds=ctx, train=True)
             return loss
 
-        return jax.grad(f)(params)
+        return jax.grad(f)(p_all)
 
     timed(
-        "phenaki_loss_fwd_bwd_b4", loss_grad,
-        flops=3 * (fwd_flops + ce_flops),
+        "phenaki_loss_fwd_bwd_b4", loss_grad, params, videos,
+        flops=3 * (fwd_flops + ce_flops), reps=max(4, args.reps // 2),
     )
 
     # optimizer update alone (adamw + global-norm clip over maskgit params)
@@ -199,14 +211,14 @@ def main():
 
     opt = get_optimizer(lr=3e-4)
     opt_state = jax.jit(opt.init)(params)
-    grads = loss_grad(jax.random.PRNGKey(11))
+    grads = jax.jit(loss_grad)(jax.random.PRNGKey(11), params, videos)
     jax.block_until_ready(grads)
 
-    def opt_update(k):
-        updates, _ = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates)
+    def opt_update(k, g, st, p):
+        updates, _ = opt.update(g, st, p)
+        return optax.apply_updates(p, updates)
 
-    timed("optimizer_update", opt_update)
+    timed("optimizer_update", opt_update, grads, opt_state, params)
 
     # the real trainer step for the total (donated; time OUTSIDE jit-scan
     # via steady-state dispatch since state threads through)
@@ -265,52 +277,64 @@ def main():
     )
     jax.block_until_ready(discr_vars)
 
-    def cv_fwd(k):
+    def cv_fwd(k, cvv, v):
         return cvivit.apply(
-            cvivit_vars, videos, deterministic=True,
+            cvv, v, deterministic=True,
             method=CViViT.forward_intermediates,
             rngs={"dropout": k},
         )["recon_video"]
 
-    timed("cvivit_ae_fwd_b4", cv_fwd)
+    timed("cvivit_ae_fwd_b4", cv_fwd, cvivit_vars, videos)
 
-    def gen_loss_grad(k):
+    def gen_loss_grad(k, cvp, dvars, v):
         def f(p):
             (loss, _), _ = cvivit_generator_loss(
-                cvivit, {"params": p}, videos, k,
-                discr=discr, discr_vars=discr_vars,
+                cvivit, {"params": p}, v, k,
+                discr=discr, discr_vars=dvars,
                 use_vgg_and_gan=True, deterministic=True,
                 perceptual_mode="disc",
             )
             return loss
 
-        return jax.grad(f)(cvivit_vars["params"])
+        return jax.grad(f)(cvp)
 
-    timed("gen_phase_fwd_bwd_b4_disc_perc", gen_loss_grad)
+    timed(
+        "gen_phase_fwd_bwd_b4_disc_perc", gen_loss_grad,
+        cvivit_vars["params"], discr_vars, videos,
+        reps=max(4, args.reps // 2),
+    )
 
-    def discr_loss_grad_gp(k):
-        def f(dp):
+    def discr_loss_grad_gp(k, cvv, dp, v):
+        def f(dp2):
             loss, _ = cvivit_discriminator_loss(
-                cvivit, discr, cvivit_vars, {"params": dp}, videos, k,
+                cvivit, discr, cvv, {"params": dp2}, v, k,
                 apply_grad_penalty=True,
             )
             return loss
 
-        return jax.grad(f)(discr_vars["params"])
+        return jax.grad(f)(dp)
 
-    timed("discr_phase_fwd_bwd_b4_with_R1", discr_loss_grad_gp)
+    timed(
+        "discr_phase_fwd_bwd_b4_with_R1", discr_loss_grad_gp,
+        cvivit_vars, discr_vars["params"], videos,
+        reps=max(4, args.reps // 2),
+    )
 
-    def discr_loss_grad(k):
-        def f(dp):
+    def discr_loss_grad(k, cvv, dp, v):
+        def f(dp2):
             loss, _ = cvivit_discriminator_loss(
-                cvivit, discr, cvivit_vars, {"params": dp}, videos, k,
+                cvivit, discr, cvv, {"params": dp2}, v, k,
                 apply_grad_penalty=False,
             )
             return loss
 
-        return jax.grad(f)(discr_vars["params"])
+        return jax.grad(f)(dp)
 
-    timed("discr_phase_fwd_bwd_b4_no_R1", discr_loss_grad)
+    timed(
+        "discr_phase_fwd_bwd_b4_no_R1", discr_loss_grad,
+        cvivit_vars, discr_vars["params"], videos,
+        reps=max(4, args.reps // 2),
+    )
 
     print(json.dumps({"rows": results}))
 

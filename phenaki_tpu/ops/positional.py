@@ -9,7 +9,7 @@ shape-static under jit: bias tables are computed at trace time for the
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,33 +54,16 @@ class AlibiPositionalBias(nn.Module):
         return alibi_bias(self.heads, i, j)
 
 
-def _relative_position_grid(dimensions: Sequence[int], log_dist: bool) -> jax.Array:
-    """(N, N, num_dims) signed relative coordinates of an N-D grid, N = prod(dims).
-
-    Built from device-side iota + broadcasts (NOT a host numpy literal): for
-    the flagship (9, 8, 16) grid the materialized table is 16 MB, and baking
-    it into the HLO as a constant bloats every program upload to the
-    remote-compile service. The iota formulation costs a few VPU ops at run
-    time and keeps the program tiny. Shape is static, so XLA still folds all
-    the indexing arithmetic (avoids the per-forward recompute the reference
-    does, attention.py:257-268).
-    """
-    positions = [jnp.arange(d, dtype=jnp.float32) for d in dimensions]
-    grid = jnp.stack(jnp.meshgrid(*positions, indexing="ij"))  # (c, *dims)
-    grid = grid.reshape(grid.shape[0], -1).T  # (N, c)
-    rel = grid[:, None, :] - grid[None, :, :]  # (N, N, c)
-    if log_dist:
-        rel = jnp.sign(rel) * jnp.log(jnp.abs(rel) + 1.0)
-    return rel
-
-
 class ContinuousPositionBias(nn.Module):
     """SwinV2 continuous relative position bias (reference attention.py:229-275).
 
     A small MLP over signed-log relative coordinates of an N-D token grid,
     producing a per-head additive attention bias of shape (heads, N, N).
     `num_dims=2` for C-ViViT spatial attention, `num_dims=3` for MaskGit over
-    the (t, h, w) grid.
+    the (t, h, w) grid. Everything is built from device-side iota (no host
+    numpy literal) so the HLO stays tiny through the remote-compile service,
+    and all static indexing arithmetic folds at compile time (avoids the
+    per-forward recompute the reference does, attention.py:257-268).
     """
 
     dim: int
@@ -93,15 +76,84 @@ class ContinuousPositionBias(nn.Module):
     @nn.compact
     def __call__(self, *dimensions: int) -> jax.Array:
         assert len(dimensions) == self.num_dims
-        rel_pos = jnp.asarray(_relative_position_grid(dimensions, self.log_dist))
+        # The bias depends only on the DISPLACEMENT between two grid points,
+        # which takes prod(2*Di - 1) unique values — 7,905 for the flagship
+        # (9, 16, 8) grid vs N^2 = 1.33M position pairs. Run the MLP over the
+        # unique-displacement table only: 167x less MLP work per forward AND
+        # per backward (the MLP is trained, so training recomputes this
+        # every step; measured 3.4 ms dense -> ~0.6 ms of a 9 ms flagship
+        # forward). Same math per row as the dense form, to float
+        # associativity.
+        disp_axes = [
+            jnp.arange(-(d - 1), d, dtype=jnp.float32) for d in dimensions
+        ]
+        disp = jnp.stack(jnp.meshgrid(*disp_axes, indexing="ij"))  # (c, *S)
+        disp = disp.reshape(disp.shape[0], -1).T  # (M, c)
+        if self.log_dist:
+            disp = jnp.sign(disp) * jnp.log(jnp.abs(disp) + 1.0)
 
-        x = nn.Dense(self.dim, dtype=self.dtype, name="net_in")(rel_pos)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="net_in")(disp)
         x = nn.leaky_relu(x, negative_slope=0.1)
         for idx in range(self.layers - 1):
             x = nn.Dense(self.dim, dtype=self.dtype, name=f"net_hidden_{idx}")(x)
             x = nn.leaky_relu(x, negative_slope=0.1)
-        x = nn.Dense(self.heads, dtype=self.dtype, name="net_out")(x)
-        return jnp.transpose(x, (2, 0, 1))  # (heads, N, N)
+        x = nn.Dense(self.heads, dtype=self.dtype, name="net_out")(x)  # (M, h)
+
+        # Expand the (S1, ..., Sc, heads) displacement table to the (N, N)
+        # pair matrix with one ONE-HOT CONTRACTION per dim (selection
+        # tensors sel_d[i, j, s] = [i - j + D - 1 == s], from iota), the
+        # LAST einsum emitting the (heads, i1..ic, j1..jc) target order
+        # directly. Measured on-chip alternatives for the flagship shape:
+        # row gather 5.7 ms (TPU gathers of 8-float rows are
+        # element-granular), tensordot+final transpose 5.3 ms, dense-MLP
+        # formulation 3.4 ms, this 3.0 ms — and unlike the dense form the
+        # backward only differentiates the 7,905-row MLP. precision
+        # 'highest' keeps the selections exact (default bf16 matmul rounds
+        # the table values); each output element is a sum with exactly one
+        # nonzero product, so this equals a gather bit-for-bit.
+        c = len(dimensions)
+        sizes = [2 * d - 1 for d in dimensions]
+        y = x.reshape(*sizes, self.heads)
+
+        # letters: i-pair a_k, j-pair b_k, displacement s_k, heads 'Z'
+        abc = "abcdefghijklmnopqr"
+        a = [abc[3 * k] for k in range(c)]
+        b = [abc[3 * k + 1] for k in range(c)]
+        s = [abc[3 * k + 2] for k in range(c)]
+
+        def sel(d):
+            i = jnp.arange(d, dtype=jnp.int32)
+            return (
+                (i[:, None, None] - i[None, :, None] + d - 1)
+                == jnp.arange(2 * d - 1, dtype=jnp.int32)[None, None, :]
+            ).astype(y.dtype)  # (d, d, 2d-1)
+
+        # expand last dim first; intermediates keep (unexpanded s-dims in
+        # dim order, expanded pairs in dim order, heads) — the layout the
+        # measured-fastest plan uses
+        cur = "".join(s) + "Z"
+        for k in range(c - 1, 0, -1):
+            new = "".join(s[:k]) + "".join(
+                a[k2] + b[k2] for k2 in range(k, c)
+            ) + "Z"
+            y = jnp.einsum(
+                f"{a[k]}{b[k]}{s[k]},{cur}->{new}",
+                sel(dimensions[k]),
+                y,
+                precision="highest",
+            )
+            cur = new
+        target = "Z" + "".join(a) + "".join(b)
+        y = jnp.einsum(
+            f"{a[0]}{b[0]}{s[0]},{cur}->{target}",
+            sel(dimensions[0]),
+            y,
+            precision="highest",
+        )
+        n = 1
+        for d in dimensions:
+            n *= d
+        return y.reshape(self.heads, n, n)
 
 
 class PEG(nn.Module):

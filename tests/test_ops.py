@@ -84,6 +84,29 @@ def test_cpb_shapes_and_translation_invariance():
     np.testing.assert_allclose(d - d[:, :1], np.zeros_like(d), atol=1e-6)
 
 
+def test_cpb_table_matches_dense_formulation():
+    """The unique-displacement-table CPB (MLP over prod(2D-1) rows + gather)
+    must equal the dense formulation (MLP over all N^2 relative-coordinate
+    pairs) exactly — same function, 167x less MLP work at flagship shape."""
+    cpb = ContinuousPositionBias(dim=16, heads=4, num_dims=3)
+    params = cpb.init(jax.random.PRNGKey(0), 3, 4, 5)
+    got = cpb.apply(params, 3, 4, 5)
+
+    positions = [jnp.arange(d, dtype=jnp.float32) for d in (3, 4, 5)]
+    grid = jnp.stack(jnp.meshgrid(*positions, indexing="ij"))
+    grid = grid.reshape(grid.shape[0], -1).T
+    rel = grid[:, None, :] - grid[None, :, :]
+    rel = jnp.sign(rel) * jnp.log(jnp.abs(rel) + 1.0)
+    p = params["params"]
+    x = rel @ p["net_in"]["kernel"] + p["net_in"]["bias"]
+    x = jax.nn.leaky_relu(x, 0.1)
+    x = x @ p["net_hidden_0"]["kernel"] + p["net_hidden_0"]["bias"]
+    x = jax.nn.leaky_relu(x, 0.1)
+    x = x @ p["net_out"]["kernel"] + p["net_out"]["bias"]
+    expected = jnp.transpose(x, (2, 0, 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-6)
+
+
 def test_peg_causal_does_not_leak_future():
     peg = PEG(dim=8, causal=True)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 2, 2, 8))
