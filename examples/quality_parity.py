@@ -17,9 +17,9 @@ batch size, step count, cond_drop_prob=0 for MaskGit (the reference hard-sets
 the comparison isolates the frameworks, not the bugfix).
 
 Deliberately NOT matched (each side runs its own code): parameter init
-streams, masking rng, the quantizer aux losses (the reference's recon-only
-path drops vq_aux_loss entirely, cvivit.py:629-633; ours keeps the LFQ
-entropy/commitment terms — part of the product).
+streams and masking rng. The LFQ aux weights are zeroed on our side to
+match the reference's recon-only objective, which returns PURE recon loss
+(cvivit.py:629-633).
 
 The reference's LFQ comes from the unavailable `vector-quantize-pytorch`
 dependency; `TorchLFQ` below is a functional torch stand-in implementing the
@@ -52,17 +52,23 @@ import numpy as np
 
 IMG = 16
 FRAMES = 5  # 1 + 2*temporal_patch_size
-N_TRAIN, N_EVAL = 64, 16
+# Large enough that 600 steps x batch 8 cannot memorize the training set:
+# the first version of this benchmark used 64 train videos with PURE-NOISE
+# text embeddings, which measured overfitting speed, not framework quality
+# (the faster-optimizing side looked WORSE on held-out noise).
+N_TRAIN, N_EVAL = 512, 64
 DIRS = np.asarray([(0, 1), (0, -1), (1, 0), (-1, 0)], np.int64)
 
 
-def make_videos(n: int, seed: int) -> np.ndarray:
-    """(n, f, h, w, 3) float32 in [0, 1] — channels-last (ours); the torch
-    side transposes to (n, 3, f, h, w)."""
+def make_videos(n: int, seed: int):
+    """((n, f, h, w, 3) float32 in [0, 1], (n,) direction ids) —
+    channels-last (ours); the torch side transposes to (n, 3, f, h, w)."""
     rs = np.random.RandomState(seed)
     out = np.zeros((n, FRAMES, IMG, IMG, 3), np.float32)
+    dirs = np.zeros((n,), np.int64)
     for i in range(n):
-        d = DIRS[rs.randint(4)]
+        dirs[i] = rs.randint(4)
+        d = DIRS[dirs[i]]
         y, x = rs.randint(3, IMG - 6, size=2)
         color = 0.4 + 0.6 * rs.rand(3)
         for f in range(FRAMES):
@@ -70,7 +76,18 @@ def make_videos(n: int, seed: int) -> np.ndarray:
             xx = int(np.clip(x + d[1] * f, 0, IMG - 4))
             out[i, f, yy : yy + 4, xx : xx + 4] = color
         out[i] += 0.05 * rs.rand(FRAMES, IMG, IMG, 3)
-    return np.clip(out, 0.0, 1.0)
+    return np.clip(out, 0.0, 1.0), dirs
+
+
+def make_embeds(dirs: np.ndarray, seed: int) -> np.ndarray:
+    """(n, 8, 32) text embeddings carrying a LEARNABLE signal: a fixed
+    per-direction table (shared by train/eval, like a caption describing
+    the motion) plus small per-sample noise. Pure-noise embeddings make
+    held-out CE measure memorization of (noise -> video) pairs instead of
+    conditional modeling."""
+    table = np.random.RandomState(777).randn(4, 8, 32).astype(np.float32)
+    noise = 0.1 * np.random.RandomState(seed).randn(len(dirs), 8, 32)
+    return (table[dirs] + noise).astype(np.float32)
 
 
 def psnr_np(a: np.ndarray, b: np.ndarray) -> float:
@@ -195,10 +212,19 @@ def run_reference_cvivit(train, evals, steps, batch, lr, seed):
     model.eval()
     with torch.no_grad():
         recon = model(t_eval, return_recons_only=True)
+        recon_tr = model(t_train[: len(evals)], return_recons_only=True)
     p = psnr_np(
         np.clip(recon.numpy(), 0, 1).transpose(0, 2, 3, 4, 1), evals
     )
-    return {"recon_psnr_db": p, "train_seconds": train_s}
+    p_tr = psnr_np(
+        np.clip(recon_tr.numpy(), 0, 1).transpose(0, 2, 3, 4, 1),
+        train[: len(evals)],
+    )
+    return {
+        "recon_psnr_db": p,
+        "train_psnr_db": p_tr,
+        "train_seconds": train_s,
+    }
 
 
 def run_reference_maskgit(ids_train, ids_eval, emb_train, emb_eval, steps,
@@ -217,6 +243,17 @@ def run_reference_maskgit(ids_train, ids_eval, emb_train, emb_eval, steps,
     from phenaki_pytorch.cvivit import CViViT as RefCViViT
     from phenaki_pytorch.phenaki_pytorch import MaskGit as RefMaskGit
     from phenaki_pytorch.phenaki_pytorch import Phenaki as RefPhenaki
+
+    # the reference resolves text_embed_dim EAGERLY via a HF config fetch
+    # even when text_embed_dim is passed (phenaki_pytorch.py:391 evaluates
+    # get_encoded_dim before default()); zero egress -> pre-seed its config
+    # cache so construction stays offline
+    from phenaki_pytorch import t5 as ref_t5
+
+    class _OfflineCfg:
+        d_model = 32
+
+    ref_t5.T5_CONFIGS["google/t5-v1_1-base"] = {"config": _OfflineCfg()}
     from phenaki_pytorch.optimizer import get_optimizer as ref_get_optimizer
 
     torch.manual_seed(seed)
@@ -250,15 +287,30 @@ def run_reference_maskgit(ids_train, ids_eval, emb_train, emb_eval, steps,
         opt.step()
     train_s = time.time() - t0
 
-    # eval masked-CE, averaged over eval_reps random maskings (each side
-    # draws its own masks; the average is the comparable quantity)
+    # masked-CE on held-out videos AND a same-size train probe, averaged
+    # over eval_reps random maskings (each side draws its own masks; the
+    # average is the comparable quantity)
     phenaki.eval()
-    ces = []
+    n_probe = len(e_ids)
+    ces, ces_tr = [], []
     with torch.no_grad():
         for r in range(eval_reps):
             torch.manual_seed(10_000 + r)
             ces.append(float(phenaki(video_codebook_ids=e_ids, text_embeds=e_emb)))
-    return {"eval_masked_ce": float(np.mean(ces)), "train_seconds": train_s}
+            torch.manual_seed(20_000 + r)
+            ces_tr.append(
+                float(
+                    phenaki(
+                        video_codebook_ids=t_ids[:n_probe],
+                        text_embeds=t_emb[:n_probe],
+                    )
+                )
+            )
+    return {
+        "eval_masked_ce": float(np.mean(ces)),
+        "train_masked_ce": float(np.mean(ces_tr)),
+        "train_seconds": train_s,
+    }
 
 
 # ---------------------------------------------------------------------- #
@@ -280,6 +332,10 @@ def run_ours_cvivit(train, evals, steps, batch, lr, seed):
         dim=32, codebook_size=256, image_size=IMG, patch_size=8,
         temporal_patch_size=2, spatial_depth=1, temporal_depth=1,
         dim_head=16, heads=2,
+        # the reference's recon-only path returns PURE recon loss with no
+        # quantizer aux terms (cvivit.py:629-633) — match the objective so
+        # the comparison isolates the frameworks, not the loss recipe
+        lfq_entropy_loss_weight=0.0, lfq_commitment_loss_weight=0.0,
     )
     rng = jax.random.PRNGKey(seed)
     variables = jit_init(model, rng, jnp.asarray(train[:1]))
@@ -310,11 +366,16 @@ def run_ours_cvivit(train, evals, steps, batch, lr, seed):
     jax.block_until_ready(loss)
     train_s = time.time() - t0
 
-    recon = jax.jit(
-        lambda p, v: model.apply({"params": p}, v)[0]
-    )(params, jnp.asarray(evals))
+    recon_fn = jax.jit(lambda p, v: model.apply({"params": p}, v)[0])
+    recon = recon_fn(params, jnp.asarray(evals))
+    recon_tr = recon_fn(params, jnp.asarray(train[: len(evals)]))
     p = psnr_np(np.clip(np.asarray(recon), 0, 1), evals)
-    return {"recon_psnr_db": p, "train_seconds": train_s}
+    p_tr = psnr_np(np.clip(np.asarray(recon_tr), 0, 1), train[: len(evals)])
+    return {
+        "recon_psnr_db": p,
+        "train_psnr_db": p_tr,
+        "train_seconds": train_s,
+    }
 
 
 def run_ours_maskgit(ids_train, ids_eval, emb_train, emb_eval, steps, batch,
@@ -376,11 +437,25 @@ def run_ours_maskgit(ids_train, ids_eval, emb_train, emb_eval, steps, batch,
     jax.block_until_ready(loss)
     train_s = time.time() - t0
 
+    n_probe = len(ids_eval)
     ces = [
         float(eval_fn(params, e_ids, e_emb, jax.random.PRNGKey(10_000 + r)))
         for r in range(eval_reps)
     ]
-    return {"eval_masked_ce": float(np.mean(ces)), "train_seconds": train_s}
+    ces_tr = [
+        float(
+            eval_fn(
+                params, t_ids[:n_probe], t_emb[:n_probe],
+                jax.random.PRNGKey(20_000 + r),
+            )
+        )
+        for r in range(eval_reps)
+    ]
+    return {
+        "eval_masked_ce": float(np.mean(ces)),
+        "train_masked_ce": float(np.mean(ces_tr)),
+        "train_seconds": train_s,
+    }
 
 
 # ---------------------------------------------------------------------- #
@@ -388,15 +463,15 @@ def run_ours_maskgit(ids_train, ids_eval, emb_train, emb_eval, steps, batch,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--eval-reps", type=int, default=16)
     ap.add_argument("--skip-maskgit", action="store_true")
     args = ap.parse_args()
 
-    train = make_videos(N_TRAIN, seed=0)
-    evals = make_videos(N_EVAL, seed=1)
+    train, train_dirs = make_videos(N_TRAIN, seed=0)
+    evals, eval_dirs = make_videos(N_EVAL, seed=1)
 
     print("== C-ViViT recon-only training ==", flush=True)
     ref_cv = run_reference_cvivit(train, evals, args.steps, args.batch, args.lr, 0)
@@ -429,9 +504,8 @@ def main():
         ids_train = np.asarray(tok(jnp.asarray(train))).reshape(N_TRAIN, -1)
         ids_eval = np.asarray(tok(jnp.asarray(evals))).reshape(N_EVAL, -1)
 
-        rs = np.random.RandomState(42)
-        emb_train = rs.randn(N_TRAIN, 8, 32).astype(np.float32)
-        emb_eval = rs.randn(N_EVAL, 8, 32).astype(np.float32)
+        emb_train = make_embeds(train_dirs, seed=42)
+        emb_eval = make_embeds(eval_dirs, seed=43)
 
         print("== MaskGit masked-CE training (identical ids/embeds) ==", flush=True)
         ref_mg = run_reference_maskgit(

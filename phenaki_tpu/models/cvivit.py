@@ -36,7 +36,8 @@ from phenaki_tpu.models.transformer import Transformer
 from phenaki_tpu.ops.attention import Attention
 from phenaki_tpu.ops.norms import StandardLayerNorm
 from phenaki_tpu.ops.positional import ContinuousPositionBias
-from phenaki_tpu.ops.quantize import LFQ, VectorQuantize, QuantizerOutput
+from phenaki_tpu.ops.quantize import LFQ, QuantizerOutput, VectorQuantize
+from phenaki_tpu.ops.torch_init import torch_bias_init, torch_kernel_init
 
 
 def pair(v):
@@ -57,6 +58,12 @@ class CViViT(nn.Module):
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
     lookup_free_quantization: bool = True
+    # LFQ aux-loss weights, passed through to ops/quantize.py LFQ (the
+    # reference forwards lookup_free_quantization_kwargs the same way,
+    # cvivit.py:319); set both weights to 0 to train pure-recon
+    lfq_entropy_loss_weight: float = 0.1
+    lfq_commitment_loss_weight: float = 0.25
+    lfq_diversity_gamma: float = 1.0
     remat: bool = False  # rematerialize transformer activations (big configs)
     scan_layers: bool = False  # nn.scan over layers: faster compiles
     # temporal-PEG grid layout. False (default): the intended causal conv
@@ -161,11 +168,11 @@ class CViViT(nn.Module):
 
         # dual patch-norm embeddings (reference cvivit.py:273-285)
         self.patch_norm_in_first = StandardLayerNorm(c * ph * pw, dtype=self.dtype)
-        self.patch_proj_first = nn.Dense(self.dim, dtype=self.dtype)
+        self.patch_proj_first = nn.Dense(self.dim, kernel_init=torch_kernel_init, bias_init=torch_bias_init(c * ph * pw), dtype=self.dtype)
         self.patch_norm_out_first = StandardLayerNorm(self.dim, dtype=self.dtype)
 
         self.patch_norm_in_rest = StandardLayerNorm(c * ph * pw * pt, dtype=self.dtype)
-        self.patch_proj_rest = nn.Dense(self.dim, dtype=self.dtype)
+        self.patch_proj_rest = nn.Dense(self.dim, kernel_init=torch_kernel_init, bias_init=torch_bias_init(c * ph * pw * pt), dtype=self.dtype)
         self.patch_norm_out_rest = StandardLayerNorm(self.dim, dtype=self.dtype)
 
         spatial_kwargs = dict(
@@ -208,14 +215,21 @@ class CViViT(nn.Module):
         self.dec_temporal_transformer = Transformer(depth=self.temporal_depth, **temporal_kwargs)
 
         if self.lookup_free_quantization:
-            self.vq = LFQ(dim=self.dim, codebook_size=self.codebook_size, dtype=self.dtype)
+            self.vq = LFQ(
+                dim=self.dim,
+                codebook_size=self.codebook_size,
+                entropy_loss_weight=self.lfq_entropy_loss_weight,
+                commitment_loss_weight=self.lfq_commitment_loss_weight,
+                diversity_gamma=self.lfq_diversity_gamma,
+                dtype=self.dtype,
+            )
         else:
             self.vq = VectorQuantize(
                 dim=self.dim, codebook_size=self.codebook_size, dtype=self.dtype
             )
 
-        self.to_pixels_first = nn.Dense(c * ph * pw, dtype=self.dtype)
-        self.to_pixels_rest = nn.Dense(c * ph * pw * pt, dtype=self.dtype)
+        self.to_pixels_first = nn.Dense(c * ph * pw, kernel_init=torch_kernel_init, bias_init=torch_bias_init(self.dim), dtype=self.dtype)
+        self.to_pixels_rest = nn.Dense(c * ph * pw * pt, kernel_init=torch_kernel_init, bias_init=torch_bias_init(self.dim), dtype=self.dtype)
 
     # -------------- #
     # patch plumbing #
@@ -434,17 +448,20 @@ class DiscriminatorBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         """x: (b, H, W, c) NHWC."""
+        in_ch = x.shape[-1]
         res = nn.Conv(
             self.filters,
             (1, 1),
             strides=(2, 2) if self.downsample else (1, 1),
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(in_ch),
             dtype=self.dtype,
             name="conv_res",
         )(x)
 
-        x = nn.Conv(self.filters, (3, 3), padding=1, dtype=self.dtype, name="conv1")(x)
+        x = nn.Conv(self.filters, (3, 3), padding=1, kernel_init=torch_kernel_init, bias_init=torch_bias_init(in_ch * 9), dtype=self.dtype, name="conv1")(x)
         x = nn.leaky_relu(x, negative_slope=0.1)
-        x = nn.Conv(self.filters, (3, 3), padding=1, dtype=self.dtype, name="conv2")(x)
+        x = nn.Conv(self.filters, (3, 3), padding=1, kernel_init=torch_kernel_init, bias_init=torch_bias_init(self.filters * 9), dtype=self.dtype, name="conv2")(x)
         x = nn.leaky_relu(x, negative_slope=0.1)
 
         if self.downsample:
@@ -452,7 +469,7 @@ class DiscriminatorBlock(nn.Module):
             b, H, W, c = x.shape
             x = x.reshape(b, H // 2, 2, W // 2, 2, c)
             x = x.transpose(0, 1, 3, 5, 2, 4).reshape(b, H // 2, W // 2, c * 4)
-            x = nn.Conv(self.filters, (1, 1), dtype=self.dtype, name="conv_down")(x)
+            x = nn.Conv(self.filters, (1, 1), kernel_init=torch_kernel_init, bias_init=torch_bias_init(c * 4), dtype=self.dtype, name="conv_down")(x)
 
         return (x + res) * (1 / math.sqrt(2))
 
@@ -506,10 +523,10 @@ class Discriminator(nn.Module):
             features.append(x)
             resolution //= 2
 
-        x = nn.Conv(x.shape[-1], (3, 3), padding=1, dtype=self.dtype, name="to_logits_conv")(x)
+        x = nn.Conv(x.shape[-1], (3, 3), padding=1, kernel_init=torch_kernel_init, bias_init=torch_bias_init(x.shape[-1] * 9), dtype=self.dtype, name="to_logits_conv")(x)
         x = nn.leaky_relu(x, negative_slope=0.1)
         x = x.reshape(x.shape[0], -1)
-        x = nn.Dense(1, dtype=self.dtype, name="to_logits")(x)
+        x = nn.Dense(1, kernel_init=torch_kernel_init, bias_init=torch_bias_init(x.shape[-1]), dtype=self.dtype, name="to_logits")(x)
         if return_features:
             return x[:, 0], features
         return x[:, 0]

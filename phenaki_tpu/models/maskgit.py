@@ -26,6 +26,11 @@ import flax.linen as nn
 
 from phenaki_tpu.models.transformer import Transformer
 from phenaki_tpu.ops.positional import ContinuousPositionBias
+from phenaki_tpu.ops.torch_init import (
+    torch_bias_init,
+    torch_embedding_init,
+    torch_kernel_init,
+)
 
 
 class MaskGit(nn.Module):
@@ -58,8 +63,8 @@ class MaskGit(nn.Module):
 
     def setup(self):
         # last token row is the mask_id (reference phenaki_pytorch.py:123-126)
-        self.token_emb = nn.Embed(self.num_tokens + 1, self.dim, dtype=self.dtype)
-        self.pos_emb = nn.Embed(self.max_seq_len, self.dim, dtype=self.dtype)
+        self.token_emb = nn.Embed(self.num_tokens + 1, self.dim, embedding_init=torch_embedding_init, dtype=self.dtype)
+        self.pos_emb = nn.Embed(self.max_seq_len, self.dim, embedding_init=torch_embedding_init, dtype=self.dtype)
         self.continuous_pos_bias = ContinuousPositionBias(
             dim=self.dim_head, heads=self.heads, num_dims=3, dtype=self.dtype
         )
@@ -81,7 +86,7 @@ class MaskGit(nn.Module):
             seq_shard_axis=self.seq_shard_axis,
             dtype=self.dtype,
         )
-        self.to_logits = nn.Dense(self.num_tokens, dtype=self.dtype)
+        self.to_logits = nn.Dense(self.num_tokens, kernel_init=torch_kernel_init, bias_init=torch_bias_init(self.dim), dtype=self.dtype)
 
     def rel_pos_bias(self, video_patch_shape: Tuple[int, int, int]) -> jax.Array:
         """(heads, n, n) 3-D CPB bias for a static patch shape. Exposed so the
@@ -284,8 +289,8 @@ class TokenCritic(nn.Module):
         return self.num_tokens
 
     def setup(self):
-        self.token_emb = nn.Embed(self.num_tokens + 1, self.dim, dtype=self.dtype)
-        self.pos_emb = nn.Embed(self.max_seq_len, self.dim, dtype=self.dtype)
+        self.token_emb = nn.Embed(self.num_tokens + 1, self.dim, embedding_init=torch_embedding_init, dtype=self.dtype)
+        self.pos_emb = nn.Embed(self.max_seq_len, self.dim, embedding_init=torch_embedding_init, dtype=self.dtype)
         self.transformer = Transformer(
             dim=self.dim,
             depth=self.depth,
@@ -301,7 +306,7 @@ class TokenCritic(nn.Module):
             attn_reference_self_kv=self.reference_attention_kv,
             dtype=self.dtype,
         )
-        self.to_logits = nn.Dense(1, dtype=self.dtype)
+        self.to_logits = nn.Dense(1, kernel_init=torch_kernel_init, bias_init=torch_bias_init(self.dim), dtype=self.dtype)
 
     def __call__(
         self,
@@ -409,7 +414,7 @@ class SelfCritic(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *args, **kwargs) -> jax.Array:
         embeds = self.maskgit(x, *args, return_embeds=True, **kwargs)
-        return nn.Dense(1, dtype=self.maskgit.dtype, name="to_pred")(embeds)[..., 0]
+        return nn.Dense(1, kernel_init=torch_kernel_init, bias_init=torch_bias_init(self.maskgit.dim), dtype=self.maskgit.dtype, name="to_pred")(embeds)[..., 0]
 
     def forward_with_cond_scale(
         self,

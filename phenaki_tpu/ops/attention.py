@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from phenaki_tpu.ops.norms import LayerNorm, l2norm
+from phenaki_tpu.ops.torch_init import torch_kernel_init
 from phenaki_tpu.ops.positional import alibi_bias
 
 NEG_INF = -1e30
@@ -182,8 +183,8 @@ class Attention(nn.Module):
         if kv_input is None:
             kv_input = x
 
-        q = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        kv = nn.Dense(inner_dim * 2, use_bias=False, dtype=self.dtype, name="to_kv")(
+        q = nn.Dense(inner_dim, use_bias=False, kernel_init=torch_kernel_init, dtype=self.dtype, name="to_q")(x)
+        kv = nn.Dense(inner_dim * 2, use_bias=False, kernel_init=torch_kernel_init, dtype=self.dtype, name="to_kv")(
             kv_input
         )
         k, v = jnp.split(kv, 2, axis=-1)
@@ -261,7 +262,7 @@ class Attention(nn.Module):
             )
             out = out.transpose(0, 2, 1, 3).reshape(batch, -1, inner_dim)
             return nn.Dense(
-                self.dim, use_bias=False, dtype=self.dtype, name="to_out"
+                self.dim, use_bias=False, kernel_init=torch_kernel_init, dtype=self.dtype, name="to_out"
             )(out)
 
         out = qk_norm_attention(
@@ -280,4 +281,4 @@ class Attention(nn.Module):
         )
 
         out = out.transpose(0, 2, 1, 3).reshape(batch, -1, inner_dim)
-        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)
+        return nn.Dense(self.dim, use_bias=False, kernel_init=torch_kernel_init, dtype=self.dtype, name="to_out")(out)

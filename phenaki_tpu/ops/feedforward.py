@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from phenaki_tpu.ops.torch_init import torch_kernel_init
+
 from phenaki_tpu.ops.norms import StandardLayerNorm
 
 
@@ -37,8 +39,8 @@ class FeedForward(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         inner_dim = int(self.mult * (2 / 3) * self.dim)
         x = StandardLayerNorm(self.dim, dtype=self.dtype, name="norm")(x)
-        x = nn.Dense(inner_dim * 2, use_bias=False, dtype=self.dtype, name="proj_in")(x)
+        x = nn.Dense(inner_dim * 2, use_bias=False, kernel_init=torch_kernel_init, dtype=self.dtype, name="proj_in")(x)
         x = geglu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="proj_out")(x)
+        x = nn.Dense(self.dim, use_bias=False, kernel_init=torch_kernel_init, dtype=self.dtype, name="proj_out")(x)
         return x

@@ -16,6 +16,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 import numpy as np
 
+from phenaki_tpu.ops.torch_init import torch_bias_init, torch_kernel_init
+
 
 def alibi_slopes(heads: int) -> np.ndarray:
     """Per-head ALiBi slopes (reference attention.py:201-212)."""
@@ -92,12 +94,12 @@ class ContinuousPositionBias(nn.Module):
         if self.log_dist:
             disp = jnp.sign(disp) * jnp.log(jnp.abs(disp) + 1.0)
 
-        x = nn.Dense(self.dim, dtype=self.dtype, name="net_in")(disp)
+        x = nn.Dense(self.dim, kernel_init=torch_kernel_init, bias_init=torch_bias_init(self.num_dims), dtype=self.dtype, name="net_in")(disp)
         x = nn.leaky_relu(x, negative_slope=0.1)
         for idx in range(self.layers - 1):
-            x = nn.Dense(self.dim, dtype=self.dtype, name=f"net_hidden_{idx}")(x)
+            x = nn.Dense(self.dim, kernel_init=torch_kernel_init, bias_init=torch_bias_init(self.dim), dtype=self.dtype, name=f"net_hidden_{idx}")(x)
             x = nn.leaky_relu(x, negative_slope=0.1)
-        x = nn.Dense(self.heads, dtype=self.dtype, name="net_out")(x)  # (M, h)
+        x = nn.Dense(self.heads, kernel_init=torch_kernel_init, bias_init=torch_bias_init(self.dim), dtype=self.dtype, name="net_out")(x)  # (M, h)
 
         # Expand the (S1, ..., Sc, heads) displacement table to the (N, N)
         # pair matrix with one ONE-HOT CONTRACTION per dim (selection
@@ -195,13 +197,14 @@ class PEG(nn.Module):
             else:
                 raise ValueError(f"unknown PEG layout {self.layout!r}")
 
+        # torch Conv3d(groups=dim) defaults: fan_in = 27 taps (torch_init.py)
         kernel = self.param(
             "kernel",
-            nn.initializers.lecun_normal(),
+            torch_kernel_init,
             (3, 3, 3, 1, self.dim),
             jnp.float32,
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        bias = self.param("bias", torch_bias_init(27), (self.dim,), jnp.float32)
 
         # depthwise 3x3x3 conv as an explicit 27-tap stencil: pure VPU
         # elementwise multiply-adds that XLA fuses into one pass. A grouped

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from phenaki_tpu.ops.torch_init import torch_kernel_init
+
 
 class QuantizerOutput(NamedTuple):
     quantized: jax.Array
@@ -81,10 +83,10 @@ class LFQ(nn.Module):
         self.has_projections = self.dim != self.codebook_dim
         if self.has_projections:
             self.project_in = nn.Dense(
-                self.codebook_dim, use_bias=False, dtype=self.dtype, name="project_in"
+                self.codebook_dim, use_bias=False, kernel_init=torch_kernel_init, dtype=self.dtype, name="project_in"
             )
             self.project_out = nn.Dense(
-                self.dim, use_bias=False, dtype=self.dtype, name="project_out"
+                self.dim, use_bias=False, kernel_init=torch_kernel_init, dtype=self.dtype, name="project_out"
             )
 
     def __call__(
