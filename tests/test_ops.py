@@ -328,3 +328,34 @@ def test_ranks_large_rows_fall_back_to_sort():
     got = S._ranks_descending(scores)
     want = jnp.argsort(jnp.argsort(-scores, -1), -1)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_torch_init_distributions():
+    """Package-wide torch-default init (ops/torch_init.py): kernels bounded
+    by 1/sqrt(fan_in) uniform (kaiming_uniform(a=sqrt(5))), biases likewise,
+    embeddings N(0,1) — matching the reference's torch modules (PARITY.md
+    measures why this matters)."""
+    from phenaki_tpu.ops.torch_init import (
+        torch_bias_init,
+        torch_embedding_init,
+        torch_kernel_init,
+    )
+
+    k = jax.random.PRNGKey(0)
+    w = torch_kernel_init(k, (256, 128), jnp.float32)
+    bound = 256 ** -0.5
+    assert float(jnp.max(jnp.abs(w))) <= bound + 1e-6
+    # uniform, not normal: variance ~ bound^2/3
+    assert abs(float(jnp.var(w)) - bound**2 / 3) < 0.1 * bound**2 / 3
+
+    # conv layout (spatial..., in, out): fan_in = 3*3*16
+    wc = torch_kernel_init(k, (3, 3, 16, 32), jnp.float32)
+    bc = (3 * 3 * 16) ** -0.5
+    assert float(jnp.max(jnp.abs(wc))) <= bc + 1e-6
+
+    b = torch_bias_init(64)(k, (32,), jnp.float32)
+    assert float(jnp.max(jnp.abs(b))) <= 64 ** -0.5 + 1e-6
+    assert float(jnp.max(jnp.abs(b))) > 0  # NOT zeros
+
+    e = torch_embedding_init(k, (1000, 64), jnp.float32)
+    assert abs(float(jnp.std(e)) - 1.0) < 0.05
