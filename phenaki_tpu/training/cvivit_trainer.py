@@ -88,6 +88,11 @@ class CViViTTrainer:
         save_results_every: int = 100,
         save_model_every: int = 1000,
         results_folder: str = "./results",
+        # reference cvivit_trainer.py:171-174: y/n prompt before reusing a
+        # non-empty results folder. None = prompt only on an attached TTY
+        # (non-interactive runs keep existing files); True/False skip the
+        # prompt (utils/results_folder.py).
+        clear_previous_results: Optional[bool] = None,
         valid_frac: float = 0.05,
         random_split_seed: int = 42,
         use_ema: bool = True,
@@ -269,8 +274,11 @@ class CViViTTrainer:
             self.valid_dl_iter = cycle(DataLoader(self.valid_ds, **loader_kwargs))
 
         self._host_step = 0
-        self.results_folder = Path(results_folder)
-        self.results_folder.mkdir(parents=True, exist_ok=True)
+        from phenaki_tpu.utils.results_folder import prepare_results_folder
+
+        self.results_folder = prepare_results_folder(
+            results_folder, clear_previous_results
+        )
         self.checkpoints = CheckpointManager(self.results_folder / "checkpoints")
 
         # --- jitted steps --- #

@@ -117,6 +117,10 @@ class PhenakiTrainer:
         save_and_sample_every: int = 1000,
         num_samples: int = 25,
         results_folder: str = "./results",
+        # y/n guard before reusing a non-empty results folder (reference
+        # cvivit_trainer.py:171-174; see utils/results_folder.py). None =
+        # prompt only on a TTY; non-interactive runs keep existing files.
+        clear_previous_results: Optional[bool] = None,
         sample_texts_file_path: Optional[str] = None,
         sample_texts: Optional[List[str]] = None,
         dataset=None,
@@ -258,8 +262,11 @@ class PhenakiTrainer:
         # mesh so a tp>1 step doesn't mix differently-placed inputs
         self.model.cvivit_vars = replicate(self.model.cvivit_vars, self.mesh)
 
-        self.results_folder = Path(results_folder)
-        self.results_folder.mkdir(parents=True, exist_ok=True)
+        from phenaki_tpu.utils.results_folder import prepare_results_folder
+
+        self.results_folder = prepare_results_folder(
+            results_folder, clear_previous_results
+        )
         self.checkpoints = CheckpointManager(self.results_folder / "checkpoints")
         self._host_step = 0
         import ml_dtypes
