@@ -63,16 +63,45 @@ class DeadlineExceeded(TimeoutError):
 
 
 class _Request:
-    __slots__ = ("text", "text_embeds", "future", "deadline_ts")
+    __slots__ = (
+        "text",
+        "text_embeds",
+        "future",
+        "deadline_ts",
+        "scene_texts",
+        "scene_num_frames",
+        "prime_lengths",
+    )
 
-    def __init__(self, text, text_embeds, deadline_ts):
+    def __init__(
+        self,
+        text,
+        text_embeds,
+        deadline_ts,
+        scene_texts=None,
+        scene_num_frames=None,
+        prime_lengths=None,
+    ):
         self.text = text
         self.text_embeds = text_embeds
         self.deadline_ts = deadline_ts  # monotonic seconds or None
+        # multi-scene (make_video) request: list of per-scene prompts plus
+        # the static chaining structure. None for single-scene requests.
+        self.scene_texts = scene_texts
+        self.scene_num_frames = scene_num_frames
+        self.prime_lengths = prime_lengths
         self.future: Future = Future()
 
     def expired(self) -> bool:
         return self.deadline_ts is not None and time.monotonic() > self.deadline_ts
+
+    def signature(self):
+        """Launch-compatibility key: requests in one device launch must share
+        the compiled program structure (scene count, frames, prime lengths).
+        Single-scene requests all share the default signature."""
+        if self.scene_texts is None:
+            return None
+        return (self.scene_num_frames, self.prime_lengths)
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -162,6 +191,56 @@ class PhenakiServer:
         )
         deadline_ts = None if deadline is None else time.monotonic() + deadline
         req = _Request(text, text_embeds, deadline_ts)
+        return self._admit(req)
+
+    def submit_video(
+        self,
+        texts: Sequence[str],
+        num_frames=None,
+        prime_lengths=5,
+        deadline: Optional[float] = None,
+    ) -> Future:
+        """Enqueue a multi-scene `make_video` request (the reference's
+        headline long-video capability, phenaki_pytorch.py:692-714): one
+        prompt per scene, each scene primed on the last `prime_lengths`
+        frames of the previous. Resolves to the full chained
+        (sum(num_frames), H, W, c) video.
+
+        `num_frames`: int or per-scene sequence (default: the server's
+        single-scene `num_frames` for every scene). `prime_lengths`: int or
+        per-(scene-gap) sequence of length len(texts)-1.
+
+        Requests sharing the same (num_frames, prime_lengths) structure batch
+        into one sequence of device launches (one per scene); differing
+        structures run as separate launches since they compile to different
+        programs."""
+        texts = list(texts)
+        assert len(texts) >= 1, "need at least one scene prompt"
+        n_scenes = len(texts)
+        if num_frames is None:
+            num_frames = self.num_frames
+        if isinstance(num_frames, int):
+            num_frames = (num_frames,) * n_scenes
+        num_frames = tuple(int(f) for f in num_frames)
+        assert len(num_frames) == n_scenes
+        if isinstance(prime_lengths, int):
+            prime_lengths = (prime_lengths,) * (n_scenes - 1)
+        prime_lengths = tuple(int(p) for p in prime_lengths)
+        assert len(prime_lengths) == n_scenes - 1, (
+            "prime_lengths must have one entry per scene transition"
+        )
+        deadline_ts = None if deadline is None else time.monotonic() + deadline
+        req = _Request(
+            None,
+            None,
+            deadline_ts,
+            scene_texts=texts,
+            scene_num_frames=num_frames,
+            prime_lengths=prime_lengths,
+        )
+        return self._admit(req)
+
+    def _admit(self, req: _Request) -> Future:
         with self._close_lock:
             if self._closed:
                 req.future.set_exception(RuntimeError("server is closed"))
@@ -298,12 +377,22 @@ class PhenakiServer:
             batch = self._collect()
             if batch is None:
                 return
-            try:
-                self._run_batch(batch)
-            except Exception as e:  # resolve futures, keep serving
-                for req in batch:
-                    if not req.future.done():
-                        req.future.set_exception(e)
+            # one launch (sequence) per compiled-program signature: single-
+            # scene requests all share signature None; multi-scene requests
+            # group by their (num_frames, prime_lengths) structure
+            groups: dict = {}
+            for req in batch:
+                groups.setdefault(req.signature(), []).append(req)
+            for sig, group in groups.items():
+                try:
+                    if sig is None:
+                        self._run_batch(group)
+                    else:
+                        self._run_video_batch(group)
+                except Exception as e:  # resolve futures, keep serving
+                    for req in group:
+                        if not req.future.done():
+                            req.future.set_exception(e)
 
     def _run_batch(self, batch: List[_Request]):
         n = len(batch)
@@ -342,6 +431,47 @@ class PhenakiServer:
         # dispatcher assembles/launches the next batch (blocks at
         # resolve_depth undelivered launches = backpressure)
         self._resolve_q.put((videos, batch))
+
+    def _run_video_batch(self, batch: List[_Request]):
+        """One signature-group of multi-scene requests: scene-by-scene prime
+        chaining (models/phenaki.py make_video) where each scene is ONE
+        batched device launch over the whole group. The prime frames stay on
+        device between scenes — only the final chained video crosses to host."""
+        n = len(batch)
+        bucket = _bucket(n, self.batch_buckets)
+        scene_num_frames = batch[0].scene_num_frames
+        prime_lengths = (*batch[0].prime_lengths, 0)  # last scene: no prime
+
+        video_prime = None
+        scenes = []
+        for s, (frames, next_prime) in enumerate(
+            zip(scene_num_frames, prime_lengths)
+        ):
+            encoded = self.model.embed_texts(
+                [r.scene_texts[s] for r in batch]
+            )
+            embeds = np.asarray(encoded)
+            if bucket != n:
+                pad = np.repeat(embeds[-1:], bucket - n, axis=0)
+                embeds = np.concatenate([embeds, pad], axis=0)
+            self._rng, sub = jax.random.split(self._rng)
+            video = self.model.sample(
+                num_frames=frames,
+                text_embeds=embeds,
+                prime_frames=video_prime,
+                cond_scale=self.cond_scale,
+                starting_temperature=self.starting_temperature,
+                rng=sub,
+                mesh=self.mesh,
+            )
+            scenes.append(video)
+            video_prime = video[:, -next_prime:] if next_prime > 0 else None
+            self._launches.append((n, bucket))
+
+        full = jnp.concatenate(scenes, axis=1)
+        if self.output_dtype == "uint8":
+            full = self._to_u8(full)
+        self._resolve_q.put((full, batch))
 
     def _resolve_loop(self):
         while True:
@@ -415,16 +545,27 @@ def serve_http(
                 self.end_headers()
 
         def do_POST(self):
-            if self.path != "/generate":
+            if self.path not in ("/generate", "/generate_video"):
                 self.send_response(404)
                 self.end_headers()
                 return
             length = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(length) or b"{}")
             try:
-                video = server.submit(
-                    text=payload["text"], deadline=request_timeout
-                ).result(timeout=request_timeout)
+                if self.path == "/generate":
+                    future = server.submit(
+                        text=payload["text"], deadline=request_timeout
+                    )
+                else:
+                    # multi-scene make_video: {"texts": [...],
+                    # "num_frames": int|[...], "prime_lengths": int|[...]}
+                    future = server.submit_video(
+                        payload["texts"],
+                        num_frames=payload.get("num_frames"),
+                        prime_lengths=payload.get("prime_lengths", 5),
+                        deadline=request_timeout,
+                    )
+                video = future.result(timeout=request_timeout)
                 self._json(200, {"video_gif_b64": _video_to_gif_b64(video)})
             except (ServerOverloaded, DeadlineExceeded, TimeoutError) as e:
                 self._json(503, {"error": str(e)})

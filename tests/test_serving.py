@@ -248,6 +248,87 @@ def test_server_close_fails_stragglers(tiny_phenaki):
     assert first.done() or first.exception(timeout=10) is not None
 
 
+def test_server_multi_scene_video(tiny_phenaki):
+    """submit_video chains scenes with prime frames (make_video through the
+    serving layer — reference phenaki_pytorch.py:692-714) and same-structure
+    requests coalesce into shared per-scene launches."""
+    server = PhenakiServer(
+        tiny_phenaki, num_frames=3, cond_scale=2.0, batch_buckets=(1, 2),
+        max_delay_ms=500.0, seed=3,
+    )
+    try:
+        f1 = server.submit_video(
+            ["a red square", "it moves right"], num_frames=(3, 4), prime_lengths=1
+        )
+        f2 = server.submit_video(
+            ["a blue circle", "it moves left"], num_frames=(3, 4), prime_lengths=1
+        )
+        v1, v2 = f1.result(timeout=600), f2.result(timeout=600)
+        # 3-frame scene + 4-frame primed scene chained -> 7 frames total
+        # (primed scenes add a multiple of temporal_patch_size new frames)
+        assert v1.shape == (7, 16, 16, 3) and v2.shape == (7, 16, 16, 3)
+        assert np.isfinite(v1).all() and not np.allclose(v1, v2)
+        # same structure -> coalesced: each of the 2 scene launches carries
+        # both requests
+        assert any(n == 2 for n, _ in server.launch_log), server.launch_log
+    finally:
+        server.close()
+
+
+def test_server_mixed_single_and_video_requests(tiny_phenaki):
+    """A single-scene submit and a multi-scene submit_video arriving together
+    run as separate signature groups in one dispatch — both must resolve."""
+    server = PhenakiServer(
+        tiny_phenaki, num_frames=3, cond_scale=2.0, batch_buckets=(1, 2),
+        max_delay_ms=500.0,
+    )
+    try:
+        emb = np.random.RandomState(8).randn(3, TEXT_DIM).astype(np.float32)
+        f_single = server.submit(text_embeds=emb)
+        f_video = server.submit_video(
+            ["one scene", "two scene"], num_frames=(3, 4), prime_lengths=1
+        )
+        assert f_single.result(timeout=600).shape == (3, 16, 16, 3)
+        assert f_video.result(timeout=600).shape == (7, 16, 16, 3)
+    finally:
+        server.close()
+
+
+def test_http_generate_video_endpoint(tiny_phenaki):
+    import json
+    import urllib.request
+
+    server = PhenakiServer(
+        tiny_phenaki, num_frames=3, cond_scale=2.0, batch_buckets=(1,),
+        max_delay_ms=1.0,
+    )
+    port = 18909
+    t = threading.Thread(
+        target=serve_http, args=(server, port), kwargs={"max_requests": 1},
+        daemon=True,
+    )
+    t.start()
+    time.sleep(0.3)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate_video",
+            data=json.dumps(
+                {
+                    "texts": ["a ball appears", "the ball bounces"],
+                    "num_frames": [3, 4],
+                    "prime_lengths": 1,
+                }
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            payload = json.loads(r.read())
+        assert "video_gif_b64" in payload and len(payload["video_gif_b64"]) > 100
+    finally:
+        t.join(timeout=10)
+        server.close()
+
+
 def test_server_prewarm_compiles_buckets(tiny_phenaki):
     server = PhenakiServer(
         tiny_phenaki, num_frames=3, batch_buckets=(1, 2), max_delay_ms=1.0,
