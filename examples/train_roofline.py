@@ -32,6 +32,13 @@ PEAK_FLOPS = 197e12  # v5e bf16
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=12)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="substring filter: run only components whose name contains this"
+        " (fast iteration on one section; skips the full-trainer and GAN"
+        " sections unless matched)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -91,6 +98,8 @@ def main():
         fresh keys. Big arrays (params, weights) MUST come in via `operands`
         — closed-over they are baked into the HLO as constants, which blows
         the remote-compile body limit and defeats buffer reuse."""
+        if args.only is not None and args.only not in name:
+            return None
 
         @jax.jit
         def many(k0, *ops):
@@ -205,20 +214,25 @@ def main():
     )
 
     # optimizer update alone (adamw + global-norm clip over maskgit params)
-    from phenaki_tpu.training.optimizer import get_optimizer
+    if args.only is None or "optimizer_update" in args.only:
+        from phenaki_tpu.training.optimizer import get_optimizer
 
-    import optax
+        import optax
 
-    opt = get_optimizer(lr=3e-4)
-    opt_state = jax.jit(opt.init)(params)
-    grads = jax.jit(loss_grad)(jax.random.PRNGKey(11), params, videos)
-    jax.block_until_ready(grads)
+        opt = get_optimizer(lr=3e-4)
+        opt_state = jax.jit(opt.init)(params)
+        grads = jax.jit(loss_grad)(jax.random.PRNGKey(11), params, videos)
+        jax.block_until_ready(grads)
 
-    def opt_update(k, g, st, p):
-        updates, _ = opt.update(g, st, p)
-        return optax.apply_updates(p, updates)
+        def opt_update(k, g, st, p):
+            updates, _ = opt.update(g, st, p)
+            return optax.apply_updates(p, updates)
 
-    timed("optimizer_update", opt_update, grads, opt_state, params)
+        timed("optimizer_update", opt_update, grads, opt_state, params)
+
+    if args.only is not None and "FULL" not in args.only:
+        print(json.dumps({"rows": results}))
+        return
 
     # the real trainer step for the total (donated; time OUTSIDE jit-scan
     # via steady-state dispatch since state threads through)

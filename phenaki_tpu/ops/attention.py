@@ -16,11 +16,30 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from phenaki_tpu.ops.norms import LayerNorm, l2norm
+from phenaki_tpu.ops.norms import LayerNorm, l2norm, l2norm_scaled
 from phenaki_tpu.ops.torch_init import torch_kernel_init
 from phenaki_tpu.ops.positional import alibi_bias
 
 NEG_INF = -1e30
+
+
+class _ProjKernel(nn.Module):
+    """Parameter holder mirroring nn.Dense's {kernel} layout (no-bias dense).
+
+    Lets Attention FUSE the q and kv projections into one matmul when they
+    share an input (self-attention): x @ [Wq | Wkv] is one MXU launch instead
+    of two, and its backward fuses dx = d(qkv) @ [Wq | Wkv]^T the same way.
+    Param tree stays exactly {'to_q': {'kernel'}, 'to_kv': {'kernel'}} —
+    checkpoints and converters are unaffected."""
+
+    features: int
+    dim_in: int
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param(
+            "kernel", torch_kernel_init, (self.dim_in, self.features), jnp.float32
+        )
 
 
 def _use_flash(q, attn_bias, dropout_rate, deterministic) -> bool:
@@ -153,6 +172,12 @@ class Attention(nn.Module):
     # pipeline (both are shard_maps); cross-attention stays dense.
     seq_shard_mesh: Optional[Any] = None  # jax.sharding.Mesh
     seq_shard_axis: Optional[str] = None
+    # manual tensor parallelism (shard_map mode): this module instance is the
+    # LOCAL head shard of a Megatron split — `heads` is heads_global/tp, the
+    # q/kv/null-kv params are the matching head slices (k|v column pairs kept
+    # per-rank by parallel/tp_inference.pack_tp_params), to_out holds the row
+    # slice, and the output is completed with one psum over this axis.
+    tp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -183,10 +208,15 @@ class Attention(nn.Module):
         if kv_input is None:
             kv_input = x
 
-        q = nn.Dense(inner_dim, use_bias=False, kernel_init=torch_kernel_init, dtype=self.dtype, name="to_q")(x)
-        kv = nn.Dense(inner_dim * 2, use_bias=False, kernel_init=torch_kernel_init, dtype=self.dtype, name="to_kv")(
-            kv_input
-        )
+        w_q = _ProjKernel(inner_dim, self.dim, name="to_q")()
+        w_kv = _ProjKernel(inner_dim * 2, kv_input.shape[-1], name="to_kv")()
+        if kv_input is x:
+            # self-attention: ONE fused projection matmul (dim -> 3*inner)
+            qkv = x @ jnp.concatenate([w_q, w_kv], axis=1).astype(self.dtype)
+            q, kv = qkv[..., :inner_dim], qkv[..., inner_dim:]
+        else:
+            q = x @ w_q.astype(self.dtype)
+            kv = kv_input @ w_kv.astype(self.dtype)
         k, v = jnp.split(kv, 2, axis=-1)
 
         def split_heads(t):
@@ -212,8 +242,9 @@ class Attention(nn.Module):
         q_scale = self.param("q_scale", nn.initializers.ones, (self.dim_head,), jnp.float32)
         k_scale = self.param("k_scale", nn.initializers.ones, (self.dim_head,), jnp.float32)
 
-        q = l2norm(q) * q_scale.astype(self.dtype)
-        k = l2norm(k) * k_scale.astype(self.dtype)
+        # memory-lean custom VJP: saves only the bf16 inputs (norms.py)
+        q = l2norm_scaled(q, q_scale)
+        k = l2norm_scaled(k, k_scale)
 
         if attn_bias is not None and self.num_null_kv > 0:
             pad = [(0, 0)] * (attn_bias.ndim - 1) + [(self.num_null_kv, 0)]
@@ -281,4 +312,7 @@ class Attention(nn.Module):
         )
 
         out = out.transpose(0, 2, 1, 3).reshape(batch, -1, inner_dim)
-        return nn.Dense(self.dim, use_bias=False, kernel_init=torch_kernel_init, dtype=self.dtype, name="to_out")(out)
+        out = nn.Dense(self.dim, use_bias=False, kernel_init=torch_kernel_init, dtype=self.dtype, name="to_out")(out)
+        if self.tp_axis is not None:
+            out = jax.lax.psum(out, self.tp_axis)
+        return out

@@ -27,6 +27,47 @@ def l2norm(t: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
     return (t32 * jax.lax.rsqrt(jnp.maximum(ss, eps * eps))).astype(dtype)
 
 
+_L2_EPS = 1e-12
+
+
+@jax.custom_vjp
+def l2norm_scaled(t: jax.Array, scale: jax.Array) -> jax.Array:
+    """l2norm(t) * scale over the last axis, with a memory-lean VJP.
+
+    Same math as `l2norm(t) * scale` (the q/k path of QK-norm attention),
+    but the backward saves ONLY the original input: plain autodiff stashes
+    the fp32 upcast, the rsqrt product, and the scaled result per transformer
+    layer — under `nn.scan` that is 3 stacked fp32 tensors per projection per
+    layer of pure HBM stash traffic (measured in the train-step trace). Here
+    the backward recomputes them from the (bf16) input.
+    """
+    return l2norm(t) * scale.astype(t.dtype)
+
+
+def _l2s_fwd(t, scale):
+    return l2norm_scaled(t, scale), (t, scale)
+
+
+def _l2s_bwd(res, dy):
+    t, scale = res
+    t32 = t.astype(jnp.float32)
+    s32 = scale.astype(jnp.float32)
+    dy32 = dy.astype(jnp.float32)
+    ss = jnp.sum(t32 * t32, axis=-1, keepdims=True)
+    clamped = ss < _L2_EPS * _L2_EPS
+    n = jax.lax.rsqrt(jnp.maximum(ss, _L2_EPS * _L2_EPS))
+    u = t32 * n
+    du = dy32 * s32  # d/d(normalized)
+    # below the clamp the norm factor is constant wrt t (no projection term)
+    proj = jnp.where(clamped, 0.0, jnp.sum(u * du, axis=-1, keepdims=True))
+    dt = n * (du - u * proj)
+    ds = jnp.sum(dy32 * u, axis=tuple(range(dy.ndim - 1)))
+    return dt.astype(t.dtype), ds.astype(scale.dtype)
+
+
+l2norm_scaled.defvjp(_l2s_fwd, _l2s_bwd)
+
+
 class LayerNorm(nn.Module):
     """LayerNorm with learned gamma and beta frozen to zero.
 

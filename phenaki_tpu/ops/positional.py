@@ -8,6 +8,7 @@ shape-static under jit: bias tables are computed at trace time for the
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Tuple
 
@@ -17,6 +18,87 @@ import flax.linen as nn
 import numpy as np
 
 from phenaki_tpu.ops.torch_init import torch_bias_init, torch_kernel_init
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def depthwise3x3x3(
+    x: jax.Array,  # (b, T, H, W, d) compute dtype
+    kernel: jax.Array,  # (3, 3, 3, 1, d) fp32 param
+    bias: jax.Array,  # (d,) fp32 param
+    causal: bool,
+) -> jax.Array:
+    """Depthwise 3x3x3 stencil with a memory-lean VJP.
+
+    Forward math identical to the inline 27-tap loop (PEG below). Plain
+    autodiff of that loop stashes several padded 5-D intermediates per layer
+    under `nn.scan` (measured in the train-step trace); this VJP saves only
+    the input and recomputes the stencil transposes in the backward:
+    dx = correlation of dy with the flipped kernel (padding lo/hi swapped),
+    dk/db = fp32 tap reductions.
+    """
+    return _dw3_math(x, kernel, bias, causal)
+
+
+def _dw3_math(x, kernel, bias, causal):
+    dtype = x.dtype
+    frame_padding = (2, 0) if causal else (1, 1)
+    xp = jnp.pad(x, ((0, 0), frame_padding, (1, 1), (1, 1), (0, 0)))
+    k = kernel.astype(dtype)
+    _, T, H, W, _ = x.shape
+    out = jnp.zeros_like(x)
+    for dt in range(3):
+        for dh in range(3):
+            for dw in range(3):
+                out = out + (
+                    xp[:, dt : dt + T, dh : dh + H, dw : dw + W, :]
+                    * k[dt, dh, dw, 0]
+                )
+    return out + bias.astype(dtype)
+
+
+def _dw3_fwd(x, kernel, bias, causal):
+    return _dw3_math(x, kernel, bias, causal), (x, kernel, bias)
+
+
+def _dw3_bwd(causal, res, dy):
+    x, kernel, bias = res
+    dtype = x.dtype
+    lo, hi = (2, 0) if causal else (1, 1)
+    _, T, H, W, _ = x.shape
+
+    # dx[tau] = sum_dt dy[tau + lo - dt] * k[dt]  (correlation with the
+    # flipped kernel; frame padding swaps to (2-lo, lo) = (hi, lo))
+    dyp = jnp.pad(dy, ((0, 0), (2 - lo, lo), (1, 1), (1, 1), (0, 0)))
+    k = kernel.astype(dtype)
+    dx = jnp.zeros_like(x)
+    for dt in range(3):
+        for dh in range(3):
+            for dw in range(3):
+                dx = dx + (
+                    dyp[:, dt : dt + T, dh : dh + H, dw : dw + W, :]
+                    * k[2 - dt, 2 - dh, 2 - dw, 0]
+                )
+
+    xp = jnp.pad(x, ((0, 0), (lo, hi), (1, 1), (1, 1), (0, 0))).astype(
+        jnp.float32
+    )
+    dy32 = dy.astype(jnp.float32)
+    taps = []
+    for dt in range(3):
+        for dh in range(3):
+            for dw in range(3):
+                taps.append(
+                    jnp.sum(
+                        xp[:, dt : dt + T, dh : dh + H, dw : dw + W, :] * dy32,
+                        axis=(0, 1, 2, 3),
+                    )
+                )
+    dk = jnp.stack(taps).reshape(3, 3, 3, 1, x.shape[-1])
+    db = jnp.sum(dy32, axis=(0, 1, 2, 3))
+    return dx, dk.astype(kernel.dtype), db.astype(bias.dtype)
+
+
+depthwise3x3x3.defvjp(_dw3_fwd, _dw3_bwd)
 
 
 def alibi_slopes(heads: int) -> np.ndarray:
@@ -211,23 +293,8 @@ class PEG(nn.Module):
         # `conv_general_dilated(feature_group_count=dim)` is equivalent but
         # (a) depthwise conv never uses the MXU anyway and (b) its gradient
         # mis-reduces under GSPMD when neighbors are tensor-sharded on the
-        # feature dim.
-        frame_padding = (2, 0) if self.causal else (1, 1)
-        xp = jnp.pad(
-            x.astype(self.dtype),
-            ((0, 0), frame_padding, (1, 1), (1, 1), (0, 0)),
-        )
-        k = kernel.astype(self.dtype)
-        _, T, H, W, _ = x.shape
-        out = jnp.zeros_like(x, dtype=self.dtype)
-        for dt in range(3):
-            for dh in range(3):
-                for dw in range(3):
-                    out = out + (
-                        xp[:, dt : dt + T, dh : dh + H, dw : dw + W, :]
-                        * k[dt, dh, dw, 0]
-                    )
-        out = out + bias.astype(self.dtype)
+        # feature dim. Routed through the memory-lean custom VJP above.
+        out = depthwise3x3x3(x.astype(self.dtype), kernel, bias, self.causal)
 
         if untranspose:
             out = out.transpose(0, 2, 3, 1, 4)  # (b, h, w, t, d)
