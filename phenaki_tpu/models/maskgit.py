@@ -55,6 +55,12 @@ class MaskGit(nn.Module):
     # count outgrows one chip; see ops/attention.py seq_shard_mesh)
     seq_shard_mesh: Optional[object] = None
     seq_shard_axis: Optional[str] = None
+    # manual tensor parallelism (shard_map mode): this instance is the LOCAL
+    # head shard (heads = heads_global/tp, CPB emits local heads); attention/
+    # FF outputs psum over the axis. Param slices come from
+    # parallel/tp_inference.py; used by Phenaki's tp-sharded sampling.
+    tp_axis: Optional[str] = None
+    ff_inner_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -84,6 +90,8 @@ class MaskGit(nn.Module):
             attn_reference_self_kv=self.reference_attention_kv,
             seq_shard_mesh=self.seq_shard_mesh,
             seq_shard_axis=self.seq_shard_axis,
+            tp_axis=self.tp_axis,
+            ff_inner_dim=self.ff_inner_dim,
             dtype=self.dtype,
         )
         self.to_logits = nn.Dense(self.num_tokens, kernel_init=torch_kernel_init, bias_init=torch_bias_init(self.dim), dtype=self.dtype)
@@ -282,6 +290,9 @@ class TokenCritic(nn.Module):
     remat: bool = False
     scan_layers: bool = False
     reference_attention_kv: bool = False  # reference-checkpoint parity
+    # manual tensor parallelism (see MaskGit.tp_axis)
+    tp_axis: Optional[str] = None
+    ff_inner_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -304,6 +315,8 @@ class TokenCritic(nn.Module):
             remat=self.remat,
             scan_layers=self.scan_layers,
             attn_reference_self_kv=self.reference_attention_kv,
+            tp_axis=self.tp_axis,
+            ff_inner_dim=self.ff_inner_dim,
             dtype=self.dtype,
         )
         self.to_logits = nn.Dense(1, kernel_init=torch_kernel_init, bias_init=torch_bias_init(self.dim), dtype=self.dtype)

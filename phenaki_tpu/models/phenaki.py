@@ -453,12 +453,17 @@ class Phenaki:
     ):
         """One jitted program: prime tokenize -> decode scan -> video decode.
 
-        With `mesh`, the program runs under shard_map with the batch sharded
-        over the 'dp' axis — sampling is embarrassingly batch-parallel, and
-        manual sharding keeps the Pallas kernels operating on local shapes
-        (GSPMD cannot partition an opaque pallas_call)."""
-        sharded = mesh is not None and mesh.shape.get("dp", 1) > 1
-        dp = mesh.shape["dp"] if sharded else 1
+        With `mesh`, the program runs under shard_map: the batch shards over
+        the 'dp' axis (sampling is embarrassingly batch-parallel) and, when
+        the mesh has a 'tp' axis > 1, the MaskGit/critic trunks run MANUAL
+        Megatron tensor parallelism — heads and GEGLU columns sharded per
+        rank with one psum per attention/FF block (parallel/tp_inference.py)
+        — so a trunk bigger than one chip still samples. Manual sharding
+        keeps the Pallas kernels operating on local shapes (GSPMD cannot
+        partition an opaque pallas_call)."""
+        dp = mesh.shape.get("dp", 1) if mesh is not None else 1
+        tp = mesh.shape.get("tp", 1) if mesh is not None else 1
+        sharded = mesh is not None and (dp > 1 or tp > 1)
         assert batch_size % dp == 0, (
             f"sampling batch ({batch_size}) must divide the mesh dp axis ({dp})"
         )
@@ -475,8 +480,21 @@ class Phenaki:
             self.cvivit.get_video_patch_shape(prime_num_frames)[0] if has_prime else 0
         )
 
-        maskgit = self.maskgit
+        from phenaki_tpu.parallel.tp_inference import (
+            pack_tp_params,
+            tp_local_module,
+            tp_param_specs,
+        )
+
+        # tp > 1: the trunks run as LOCAL head shards (psum-completed);
+        # embeddings, vocab head, and C-ViViT stay replicated over tp
+        maskgit = tp_local_module(self.maskgit, tp)
         critic = self.critic
+        if critic is not None:
+            if self.self_token_critic:
+                critic = SelfCritic(maskgit)
+            else:
+                critic = tp_local_module(critic, tp)
         cvivit = self.cvivit
 
         # cvivit_vars enters as an ARGUMENT, not a closure: closed-over arrays
@@ -484,8 +502,9 @@ class Phenaki:
         # (the TPU backend compiles via an HTTP service with a body-size cap)
         # and forces a recompile if the tokenizer is ever swapped.
         def sample_program(params, cvivit_vars, rng, prime_frames, text_embeds):
-            if sharded:
-                # decorrelate the per-shard random streams
+            if dp > 1:
+                # decorrelate the per-shard random streams (tp ranks keep the
+                # SAME stream: they compute the same batch rows jointly)
                 rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
             prime_ids = None
             if has_prime:
@@ -578,18 +597,42 @@ class Phenaki:
                 video = video[:, prime_num_frames:]
             return video
 
-        if sharded:
-            from jax import shard_map
-            from jax.sharding import PartitionSpec as P
+        if not sharded:
+            return jax.jit(sample_program)
 
-            sample_program = shard_map(
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        bspec = P("dp") if dp > 1 else P()
+
+        def sharded_program(params, cvivit_vars, rng, prime_frames, text_embeds):
+            # tp packing happens in the GLOBAL view (outside shard_map): the
+            # fused to_kv / GEGLU proj_in kernels are column-reordered so a
+            # contiguous 1/tp slice keeps (k|v) / (a|g) pairs on one rank
+            # (parallel/tp_inference.py); tp == 1 is the identity
+            mg_packed = pack_tp_params(params["maskgit"], tp)
+            cr = params.get("critic")
+            if cr is not None and not self.self_token_critic:
+                cr = pack_tp_params(cr, tp)
+            packed = {"maskgit": mg_packed, "critic": cr}
+            specs = {
+                "maskgit": tp_param_specs(mg_packed, tp),
+                "critic": (
+                    tp_param_specs(cr, tp)
+                    if cr is not None and not self.self_token_critic
+                    else jax.tree_util.tree_map(lambda _: P(), cr)
+                ),
+            }
+            fn = shard_map(
                 sample_program,
                 mesh=mesh,
-                in_specs=(P(), P(), P(), P("dp"), P("dp")),
-                out_specs=P("dp"),
+                in_specs=(specs, P(), P(), bspec, bspec),
+                out_specs=bspec,
                 check_vma=False,
             )
-        return jax.jit(sample_program)
+            return fn(packed, cvivit_vars, rng, prime_frames, text_embeds)
+
+        return jax.jit(sharded_program)
 
     def sample(
         self,

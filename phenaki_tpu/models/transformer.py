@@ -55,6 +55,14 @@ class TransformerLayer(nn.Module):
     # axis (see ops/attention.py Attention.seq_shard_mesh)
     seq_shard_mesh: Optional[object] = None
     seq_shard_axis: Optional[str] = None
+    # manual tensor parallelism (shard_map mode): this layer is the LOCAL
+    # head/column shard — `heads` and `ff_inner_dim` are the per-rank sizes,
+    # attention/FF outputs psum over this axis (ops/attention.py,
+    # ops/feedforward.py; packing in parallel/tp_inference.py)
+    tp_axis: Optional[str] = None
+    # LOCAL GEGLU inner width (None = reference formula); set by the tp
+    # packing since the reference width may not divide tp
+    ff_inner_dim: Optional[int] = None
     # static over the scan; the (b, t, h, w) grid for PEG
     video_shape: Optional[Tuple[int, int, int, int]] = None
     deterministic: bool = True
@@ -100,6 +108,7 @@ class TransformerLayer(nn.Module):
                 reference_self_kv=self.attn_reference_self_kv,
                 seq_shard_mesh=self.seq_shard_mesh,
                 seq_shard_axis=self.seq_shard_axis,
+                tp_axis=self.tp_axis,
                 dtype=self.dtype,
                 name="self_attn",
             )(x, self_attn_mask, None, attn_bias, self.deterministic)
@@ -116,6 +125,7 @@ class TransformerLayer(nn.Module):
                     causal=False,
                     num_null_kv=self.attn_num_null_kv,
                     dropout=self.attn_dropout,
+                    tp_axis=self.tp_axis,
                     dtype=self.dtype,
                     name="cross_attn",
                 )(x, cross_attn_context_mask, context, None, self.deterministic)
@@ -127,6 +137,8 @@ class TransformerLayer(nn.Module):
                 dim=self.dim,
                 mult=self.ff_mult,
                 dropout=self.ff_dropout,
+                inner_dim=self.ff_inner_dim,
+                tp_axis=self.tp_axis,
                 dtype=self.dtype,
                 name="ff",
             )(x, self.deterministic)
@@ -157,6 +169,9 @@ class Transformer(nn.Module):
     # sequence never lives whole on one chip). See ops/attention.py.
     seq_shard_mesh: Optional[object] = None
     seq_shard_axis: Optional[str] = None
+    # manual tensor parallelism + local GEGLU width (see TransformerLayer)
+    tp_axis: Optional[str] = None
+    ff_inner_dim: Optional[int] = None
     # rematerialize attention/FF activations in the backward pass — trades
     # ~30% more FLOPs for O(depth) less activation HBM (jax.checkpoint;
     # the reference has no equivalent, large configs rely on it on TPU)
@@ -185,6 +200,8 @@ class Transformer(nn.Module):
             attn_reference_self_kv=self.attn_reference_self_kv,
             seq_shard_mesh=self.seq_shard_mesh,
             seq_shard_axis=self.seq_shard_axis,
+            tp_axis=self.tp_axis,
+            ff_inner_dim=self.ff_inner_dim,
             video_shape=video_shape,
             deterministic=deterministic,
             dtype=self.dtype,

@@ -176,6 +176,135 @@ def test_sharded_sampling_over_dp():
     assert not np.allclose(v[0], v[1])
 
 
+def _tiny_phenaki_for_sampling(critic_kind=None):
+    from phenaki_tpu.models.cvivit import CViViT
+    from phenaki_tpu.models.maskgit import MaskGit, TokenCritic
+    from phenaki_tpu.models.phenaki import Phenaki
+
+    cvivit = CViViT(
+        dim=32, codebook_size=64, image_size=16, patch_size=8,
+        temporal_patch_size=2, spatial_depth=1, temporal_depth=1,
+        dim_head=16, heads=2,
+    )
+    cvivit_vars = cvivit.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 16, 16, 3)))
+    maskgit = MaskGit(
+        dim=32, num_tokens=64, max_seq_len=16, depth=2, heads=2, dim_head=16,
+        dim_context=16,
+    )
+    critic = None
+    self_critic = False
+    if critic_kind == "token":
+        critic = TokenCritic(
+            dim=32, num_tokens=64, max_seq_len=16, depth=1, heads=2,
+            dim_head=16, has_cross_attn=True, dim_context=16,
+        )
+    elif critic_kind == "self":
+        self_critic = True
+    ph = Phenaki(
+        maskgit=maskgit, cvivit=cvivit, cvivit_vars=cvivit_vars, steps=2,
+        critic=critic, self_token_critic=self_critic,
+        text_embed_dim=16, max_text_len=4,
+    )
+    ph.init(jax.random.PRNGKey(1))
+    return ph
+
+
+@pytest.mark.parametrize("critic_kind", [None, "token", "self"])
+def test_tp_sharded_sampling_matches_dense(critic_kind):
+    """Tensor-parallel sampling (round-3 review #2): the decode program on a
+    tp=2 mesh — trunk heads/GEGLU columns sharded per rank with psum
+    completion (parallel/tp_inference.py) — must reproduce the single-device
+    sample bit-for-bit up to float reassociation."""
+    ph = _tiny_phenaki_for_sampling(critic_kind)
+    text_embeds = np.random.RandomState(3).randn(2, 3, 16).astype(np.float32)
+
+    dense = ph.sample(
+        num_frames=3, text_embeds=text_embeds, rng=jax.random.PRNGKey(9),
+        cond_scale=2.0,
+    )
+
+    mesh = make_mesh(jax.devices()[:2], dp=1, tp=2)
+    tp_video = ph.sample(
+        num_frames=3, text_embeds=text_embeds, mesh=mesh,
+        rng=jax.random.PRNGKey(9), cond_scale=2.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dense, np.float32), np.asarray(tp_video, np.float32),
+        atol=2e-4,
+        err_msg="tp=2 sampling diverged from the dense program",
+    )
+
+
+def test_dp_tp_sharded_sampling_runs():
+    """dp x tp composed sampling: batch shards over dp while each shard's
+    trunk is tensor-parallel over tp."""
+    ph = _tiny_phenaki_for_sampling()
+    mesh = make_mesh(jax.devices()[:4], dp=2, tp=2)
+    text_embeds = np.random.RandomState(4).randn(2, 3, 16).astype(np.float32)
+    video = ph.sample(
+        num_frames=3, text_embeds=text_embeds, mesh=mesh,
+        rng=jax.random.PRNGKey(11), cond_scale=2.0,
+    )
+    v = np.asarray(video, np.float32)
+    assert v.shape == (2, 3, 16, 16, 3) and np.isfinite(v).all()
+    assert not np.allclose(v[0], v[1])
+
+
+def test_tp_sampling_with_prime_frames():
+    """tp-sharded sampling with prime-frame conditioning (make_video path)."""
+    ph = _tiny_phenaki_for_sampling()
+    text_embeds = np.random.RandomState(5).randn(1, 3, 16).astype(np.float32)
+    prime = np.random.RandomState(6).rand(1, 1, 16, 16, 3).astype(np.float32)
+
+    dense = ph.sample(
+        num_frames=2, text_embeds=text_embeds, prime_frames=jnp.asarray(prime),
+        rng=jax.random.PRNGKey(13), cond_scale=2.0,
+    )
+    mesh = make_mesh(jax.devices()[:2], dp=1, tp=2)
+    tp_video = ph.sample(
+        num_frames=2, text_embeds=text_embeds, prime_frames=jnp.asarray(prime),
+        mesh=mesh, rng=jax.random.PRNGKey(13), cond_scale=2.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dense, np.float32), np.asarray(tp_video, np.float32),
+        atol=2e-4,
+    )
+
+
+def test_pack_tp_params_roundtrip_math():
+    """pack_tp_params: a packed-and-contiguously-split GEGLU/KV kernel gives
+    the same layer output as the dense kernel (including the odd inner width
+    the reference formula produces)."""
+    from phenaki_tpu.ops.feedforward import FeedForward, ff_inner_dim
+    from phenaki_tpu.parallel.tp_inference import (
+        _repack_geglu_in,
+        _pad_geglu_out,
+    )
+
+    dim, tp = 20, 2
+    inner = ff_inner_dim(dim)  # 53 — odd, exercises the per-rank zero-pad
+    ff = FeedForward(dim=dim)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, dim), jnp.float32)
+    params = ff.init(jax.random.PRNGKey(0), x)["params"]
+    dense_out = ff.apply({"params": params}, x)
+
+    w_in = _repack_geglu_in(params["proj_in"]["kernel"], tp)
+    w_out = _pad_geglu_out(params["proj_out"]["kernel"], tp)
+    il = -(-inner // tp)
+    partial_sum = 0.0
+    for r in range(tp):
+        local = {
+            "norm": params["norm"],
+            "proj_in": {"kernel": w_in[:, r * 2 * il : (r + 1) * 2 * il]},
+            "proj_out": {"kernel": w_out[r * il : (r + 1) * il]},
+        }
+        ff_local = FeedForward(dim=dim, inner_dim=il)
+        partial_sum = partial_sum + ff_local.apply({"params": local}, x)
+    np.testing.assert_allclose(
+        np.asarray(dense_out), np.asarray(partial_sum), atol=1e-5
+    )
+
+
 def test_phenaki_trainer_tp_equals_dp():
     """TP is wired INTO the trainer (round-1 weak #2): a dp=2 x tp=2 mesh
     passed to PhenakiTrainer must shard params per the Megatron rules and
