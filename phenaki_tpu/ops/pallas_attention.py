@@ -83,6 +83,7 @@ def _flash_kernel(
     vaug_ref,  # (1, 1, bk, d_aug) — [v | 1 | 0...] (ones column at index d)
     bias_ref,  # (1, bq, bk) or None
     kmask_ref,  # (1, bk) additive f32 or None
+    offs_ref,  # (1, 2) i32 SMEM [q_global_offset, k_global_offset] or None
     out_ref,  # (1, 1, bq, d_aug) f32 — [sum p*v | sum p | junk]
     acc_scr,  # (bq, d_aug) f32
     *,
@@ -136,12 +137,19 @@ def _flash_kernel(
 
     if causal:
         qi = pl.program_id(2)
+        # ring chunks supply GLOBAL (q, k) position offsets at runtime
+        # (SMEM); the single-chunk path keeps the static j - i convention
+        row_off = qi * block_q + (
+            offs_ref[0, 0] if offs_ref is not None else q_offset
+        )
+        col_off = ki * block_k + (
+            offs_ref[0, 1] if offs_ref is not None else 0
+        )
         row = (
             jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-            + qi * block_q
-            + q_offset
+            + row_off
         )
-        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + ki * block_k
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + col_off
         p = jnp.where(col <= row, p, 0.0)
 
     acc_scr[:] += jax.lax.dot_general(
@@ -241,6 +249,9 @@ def _flash_forward(
     scale: float,
     causal: bool,
     return_lse: bool = False,
+    c2_external: Optional[jax.Array] = None,  # (1, 1) f32 log2-units bound
+    offsets: Optional[jax.Array] = None,  # (2,) i32 global (q, k) offsets
+    return_raw: bool = False,  # raw f32 [sum p*v | sum p | 0...] accumulator
 ):
     b, h, i, d = q.shape
     j = k.shape[2]
@@ -254,11 +265,17 @@ def _flash_forward(
     # so this is exact even in bf16); backward kernels apply scale themselves
     q = q * jnp.asarray(scale, q.dtype)
 
-    # global score upper bound (Cauchy-Schwarz over the padded q/k, which only
-    # adds zero rows): the kernel's softmax shift. Tiny reduction, fused by XLA.
-    qn = jnp.sqrt(jnp.max(jnp.sum(q.astype(jnp.float32) ** 2, axis=-1)))
-    kn = jnp.sqrt(jnp.max(jnp.sum(k.astype(jnp.float32) ** 2, axis=-1)))
-    c2 = (qn * kn * LOG2E).reshape(1, 1)
+    if c2_external is not None:
+        # ring chunks share ONE global bound so per-chunk raw accumulators
+        # add directly (parallel/ring_attention.py)
+        c2 = c2_external.reshape(1, 1).astype(jnp.float32)
+    else:
+        # global score upper bound (Cauchy-Schwarz over the padded q/k, which
+        # only adds zero rows): the kernel's softmax shift. Tiny reduction,
+        # fused by XLA.
+        qn = jnp.sqrt(jnp.max(jnp.sum(q.astype(jnp.float32) ** 2, axis=-1)))
+        kn = jnp.sqrt(jnp.max(jnp.sum(k.astype(jnp.float32) ** 2, axis=-1)))
+        c2 = (qn * kn * LOG2E).reshape(1, 1)
 
     # v augmented with a ones column so sum(p) rides the PV matmul (MXU); the
     # remaining columns up to the 128-lane boundary are zero
@@ -291,11 +308,19 @@ def _flash_forward(
     if kmask_add is not None:
         in_specs.append(_spec_kmask(block_k, 1))
         operands.append(kmask_add)
+    if offsets is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 2), lambda bb, hh, x2, x3: (0, 0), memory_space=pltpu.SMEM
+            )
+        )
+        operands.append(offsets.reshape(1, 2).astype(jnp.int32))
 
     kernel = functools.partial(
         _flash_kernel_dispatch,
         has_bias=bias is not None,
         has_kmask=kmask_add is not None,
+        has_offs=offsets is not None,
         scale=scale,
         causal=causal,
         q_offset=j - i,
@@ -328,6 +353,11 @@ def _flash_forward(
         interpret=_INTERPRET,
     )(*operands)
 
+    if return_raw:
+        # unnormalized chunk result for ring accumulation (rows sliced back
+        # to the true i; padded k rows contributed 0 via the -inf kmask)
+        return raw[:, :, :i] if i_pad != i else raw
+
     # normalize outside the kernel: out = (sum p*v) / (sum p); lse recovers
     # the natural-log-sum-exp the backward kernels expect
     l = jnp.maximum(raw[..., d : d + 1], 1e-37)
@@ -341,11 +371,12 @@ def _flash_forward(
     return out
 
 
-def _flash_kernel_dispatch(*refs, has_bias, has_kmask, **kw):
-    """Unpack the optional bias/kmask refs by position."""
+def _flash_kernel_dispatch(*refs, has_bias, has_kmask, has_offs=False, **kw):
+    """Unpack the optional bias/kmask/offsets refs by position."""
     idx = 4
     bias_ref = None
     kmask_ref = None
+    offs_ref = None
     args = list(refs)
     c2_ref, q_ref, k_ref, v_ref = args[:4]
     if has_bias:
@@ -354,9 +385,13 @@ def _flash_kernel_dispatch(*refs, has_bias, has_kmask, **kw):
     if has_kmask:
         kmask_ref = args[idx]
         idx += 1
+    if has_offs:
+        offs_ref = args[idx]
+        idx += 1
     out_ref, acc_scr = args[idx : idx + 2]
     _flash_kernel(
-        c2_ref, q_ref, k_ref, v_ref, bias_ref, kmask_ref, out_ref, acc_scr, **kw
+        c2_ref, q_ref, k_ref, v_ref, bias_ref, kmask_ref, offs_ref, out_ref,
+        acc_scr, **kw
     )
 
 
@@ -390,7 +425,7 @@ def _reference_attention(q, k, v, bias, kmask_add, *, scale, causal):
 
 def _recompute_p(
     q_ref, k_ref, bias_ref, kmask_ref, lse_ref, *, scale, causal, q_offset,
-    qi, ki, block_q, block_k
+    qi, ki, block_q, block_k, offs_ref=None
 ):
     """(bq, bk) softmax probabilities for one (q block, k block) pair."""
     s = jax.lax.dot_general(
@@ -404,19 +439,24 @@ def _recompute_p(
     if kmask_ref is not None:
         s = s + kmask_ref[0].astype(jnp.float32)
     if causal:
+        row_off = qi * block_q + (
+            offs_ref[0, 0] if offs_ref is not None else q_offset
+        )
+        col_off = ki * block_k + (
+            offs_ref[0, 1] if offs_ref is not None else 0
+        )
         row = (
             jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-            + qi * block_q
-            + q_offset
+            + row_off
         )
-        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + ki * block_k
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + col_off
         s = jnp.where(col <= row, s, NEG_INF)
     # exp(s - lse) as one fma + exp2 (cheaper than exp on the VPU)
     return jnp.exp2(s * LOG2E - lse_ref[0, 0] * LOG2E)  # (bq, bk); lse (bq, 1)
 
 
 def _bwd_dq_kernel(*refs, has_bias, has_kmask, scale, causal, q_offset,
-                   num_k_blocks, block_q, block_k):
+                   num_k_blocks, block_q, block_k, has_offs=False):
     args = list(refs)
     q_ref, k_ref, v_ref = args[:3]
     idx = 3
@@ -424,6 +464,8 @@ def _bwd_dq_kernel(*refs, has_bias, has_kmask, scale, causal, q_offset,
     idx += 1 if has_bias else 0
     kmask_ref = args[idx] if has_kmask else None
     idx += 1 if has_kmask else 0
+    offs_ref = args[idx] if has_offs else None
+    idx += 1 if has_offs else 0
     do_ref, lse_ref, delta_ref, dq_ref, dq_acc = args[idx:]
 
     qi = pl.program_id(2)
@@ -436,6 +478,7 @@ def _bwd_dq_kernel(*refs, has_bias, has_kmask, scale, causal, q_offset,
     p = _recompute_p(
         q_ref, k_ref, bias_ref, kmask_ref, lse_ref, scale=scale, causal=causal,
         q_offset=q_offset, qi=qi, ki=ki, block_q=block_q, block_k=block_k,
+        offs_ref=offs_ref,
     )
     dp = jax.lax.dot_general(  # dO @ V^T  (bq, bk)
         do_ref[0, 0], v_ref[0, 0],
@@ -455,7 +498,7 @@ def _bwd_dq_kernel(*refs, has_bias, has_kmask, scale, causal, q_offset,
 
 
 def _bwd_dkv_kernel(*refs, has_bias, has_kmask, scale, causal, q_offset,
-                    num_q_blocks, block_q, block_k):
+                    num_q_blocks, block_q, block_k, has_offs=False):
     args = list(refs)
     q_ref, k_ref, v_ref = args[:3]
     idx = 3
@@ -463,6 +506,8 @@ def _bwd_dkv_kernel(*refs, has_bias, has_kmask, scale, causal, q_offset,
     idx += 1 if has_bias else 0
     kmask_ref = args[idx] if has_kmask else None
     idx += 1 if has_kmask else 0
+    offs_ref = args[idx] if has_offs else None
+    idx += 1 if has_offs else 0
     do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc = args[idx:]
 
     ki = pl.program_id(2)
@@ -476,6 +521,7 @@ def _bwd_dkv_kernel(*refs, has_bias, has_kmask, scale, causal, q_offset,
     p = _recompute_p(
         q_ref, k_ref, bias_ref, kmask_ref, lse_ref, scale=scale, causal=causal,
         q_offset=q_offset, qi=qi, ki=ki, block_q=block_q, block_k=block_k,
+        offs_ref=offs_ref,
     )
     pt = p.astype(do_ref.dtype)
     dv_acc[:] += jax.lax.dot_general(  # p^T @ dO  (bk, d)
@@ -502,12 +548,14 @@ def _bwd_dkv_kernel(*refs, has_bias, has_kmask, scale, causal, q_offset,
 
 
 def _bwd_dbias_kernel(*refs, has_kmask, scale, causal, q_offset, num_b,
-                      block_q, block_k):
+                      block_q, block_k, has_offs=False):
     args = list(refs)
     q_ref, k_ref, v_ref, bias_ref = args[:4]
     idx = 4
     kmask_ref = args[idx] if has_kmask else None
     idx += 1 if has_kmask else 0
+    offs_ref = args[idx] if has_offs else None
+    idx += 1 if has_offs else 0
     do_ref, lse_ref, delta_ref, dbias_ref = args[idx:]
 
     qi = pl.program_id(1)
@@ -521,6 +569,7 @@ def _bwd_dbias_kernel(*refs, has_kmask, scale, causal, q_offset, num_b,
     p = _recompute_p(
         q_ref, k_ref, bias_ref, kmask_ref, lse_ref, scale=scale, causal=causal,
         q_offset=q_offset, qi=qi, ki=ki, block_q=block_q, block_k=block_k,
+        offs_ref=offs_ref,
     )
     dp = jax.lax.dot_general(
         do_ref[0, 0], v_ref[0, 0],
@@ -531,9 +580,16 @@ def _bwd_dbias_kernel(*refs, has_kmask, scale, causal, q_offset, num_b,
     dbias_ref[0] += ds.astype(dbias_ref.dtype)
 
 
-def _flash_backward(q, k, v, bias, kmask_add, out, lse, g, *, scale, causal):
+def _flash_backward(q, k, v, bias, kmask_add, out, lse, g, *, scale, causal,
+                    offsets=None, delta=None):
     """dq, dk, dv, dbias via three blockwise kernels (p recomputed, never
-    materialized in HBM)."""
+    materialized in HBM).
+
+    Ring-chunk mode (parallel/ring_attention.py): `delta` supplies the
+    per-row correction directly (for raw-accumulator cotangents it is -cl,
+    see flash_attend_chunk) with `lse`/`delta` UNPADDED (b, h, i, 1) f32 and
+    `out=None`; `offsets` are the traced global (q, k) position offsets for
+    the causal mask."""
     b, h, i, d = q.shape
     j = k.shape[2]
     in_dtype = q.dtype
@@ -547,19 +603,30 @@ def _flash_backward(q, k, v, bias, kmask_add, out, lse, g, *, scale, causal):
         do = jnp.pad(do, ((0, 0), (0, 0), (0, i_pad - i), (0, 0)))
     do = do.astype(in_dtype)
 
-    # delta = rowsum(dO * O) per query row (padded rows: dO = 0 -> delta = 0)
-    delta = jnp.sum(
-        do[:, :, :i].astype(jnp.float32) * out.astype(jnp.float32),
-        axis=-1,
-        keepdims=True,
-    )
-    if i_pad != i:
+    if delta is None:
+        # delta = rowsum(dO * O) per query row (padded rows: dO = 0 -> 0);
+        # `lse` arrives PADDED from the forward in this mode
+        delta = jnp.sum(
+            do[:, :, :i].astype(jnp.float32) * out.astype(jnp.float32),
+            axis=-1,
+            keepdims=True,
+        )
+        if i_pad != i:
+            delta = jnp.pad(delta, ((0, 0), (0, 0), (0, i_pad - i), (0, 0)))
+    elif i_pad != i:
+        # chunk mode: stats arrive unpadded
         delta = jnp.pad(delta, ((0, 0), (0, 0), (0, i_pad - i), (0, 0)))
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, i_pad - i), (0, 0)))
+
+    offs_op = None
+    if offsets is not None:
+        offs_op = offsets.reshape(1, 2).astype(jnp.int32)
 
     num_q = i_pad // block_q
     num_k = j_pad // block_k
     common = dict(scale=scale, causal=causal, q_offset=j - i,
-                  block_q=block_q, block_k=block_k)
+                  block_q=block_q, block_k=block_k,
+                  has_offs=offs_op is not None)
 
     def opt_specs(qi_axis, ki_axis):
         specs, ops = [], []
@@ -569,6 +636,13 @@ def _flash_backward(q, k, v, bias, kmask_add, out, lse, g, *, scale, causal):
         if kmaskp is not None:
             specs.append(_spec_kmask(block_k, ki_axis))
             ops.append(kmaskp)
+        if offs_op is not None:
+            specs.append(
+                pl.BlockSpec(
+                    (1, 2), lambda *_: (0, 0), memory_space=pltpu.SMEM
+                )
+            )
+            ops.append(offs_op)
         return specs, ops
 
     # ---- dQ: grid (b, h, qi, ki), k sequential ---- #
@@ -647,6 +721,12 @@ def _flash_backward(q, k, v, bias, kmask_add, out, lse, g, *, scale, causal):
                              memory_space=pltpu.VMEM)
             )
             ops.append(kmaskp)
+        if offs_op is not None:
+            in_specs.append(
+                pl.BlockSpec((1, 2), lambda *_: (0, 0),
+                             memory_space=pltpu.SMEM)
+            )
+            ops.append(offs_op)
         in_specs += [
             pl.BlockSpec((1, 1, block_q, d),
                          lambda hh, qi, ki, bb: (bb, hh, qi, 0),
@@ -717,6 +797,57 @@ def _bwd(scale, causal, residuals, g):
 
 
 flash_qk_attention.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------------------
+# ring-attention chunk: UNNORMALIZED flash attend against one K/V shard.
+# Because cosine attention's softmax shift c2 is a GLOBAL bound (pmax of the
+# per-shard Cauchy-Schwarz bounds), per-chunk raw accumulators
+# [sum p*v | sum p] simply ADD across ring rotations — no running-max
+# bookkeeping crosses chips. parallel/ring_attention.py normalizes the sum.
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def flash_attend_chunk(q, k, v, bias, kmask_add, c2, offsets, scale, causal):
+    """Raw (b, h, i, d_aug) f32 accumulator [sum p*v | sum p | 0...] for one
+    K/V chunk, p = 2^(s*log2e - c2) with the caller-supplied global bound.
+
+    `offsets` (2,) i32 gives the chunk's global (q, k) positions for the
+    causal mask (None when not causal). Differentiable in q/k/v/bias; the
+    VJP rides the same backward kernels as flash_qk_attention with
+    do := d(acc), delta := -d(l), lse := c2*ln2 — `ds = p * (dO V^T - delta)`
+    reduces to exactly the unnormalized-accumulator gradient. c2 must be
+    stop-gradded by the caller (the normalized output is c2-invariant)."""
+    return _flash_forward(
+        q, k, v, bias, kmask_add, scale=scale, causal=causal,
+        c2_external=c2, offsets=offsets, return_raw=True,
+    )
+
+
+def _chunk_fwd(q, k, v, bias, kmask_add, c2, offsets, scale, causal):
+    raw = flash_attend_chunk(
+        q, k, v, bias, kmask_add, c2, offsets, scale, causal
+    )
+    return raw, (q, k, v, bias, kmask_add, c2, offsets)
+
+
+def _chunk_bwd(scale, causal, residuals, g):
+    q, k, v, bias, kmask_add, c2, offsets = residuals
+    b, h, i, d = q.shape
+    ca = g[..., :d].astype(q.dtype)  # cotangent on sum p*v
+    cl = g[..., d : d + 1].astype(jnp.float32)  # cotangent on sum p
+    lse_rows = jnp.broadcast_to(
+        c2.reshape(()).astype(jnp.float32) * LN2, (b, h, i, 1)
+    )
+    dq, dk, dv, dbias = _flash_backward(
+        q, k, v, bias, kmask_add, None, lse_rows, ca,
+        scale=scale, causal=causal, offsets=offsets, delta=-cl,
+    )
+    return dq, dk, dv, dbias, None, None, None
+
+
+flash_attend_chunk.defvjp(_chunk_fwd, _chunk_bwd)
 
 
 def _reference_backward(q, k, v, bias, kmask_add, g, *, scale, causal):

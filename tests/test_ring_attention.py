@@ -179,3 +179,113 @@ def test_maskgit_seq_shard_falls_back_on_indivisible():
     np.testing.assert_allclose(
         np.asarray(out_ring), np.asarray(out_dense), atol=1e-6
     )
+
+
+# ---------------------------------------------------------------------- #
+# flash-kernel ring (bounded-shift Pallas chunks; interpret mode on CPU) #
+# ---------------------------------------------------------------------- #
+
+
+def _flash_ring_setup(n=128, b=1, h=2, d=16):
+    from phenaki_tpu.ops.norms import l2norm
+
+    q, k = l2norm(rand(10, b, h, n, d)), l2norm(rand(11, b, h, n, d))
+    v = rand(12, b, h, n, d)
+    return q, k, v
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    from phenaki_tpu.ops import pallas_attention as pa
+
+    monkeypatch.setattr(pa, "_INTERPRET", True)
+    yield
+
+
+def test_flash_ring_matches_dense(interpret_pallas):
+    """Per-rotation Pallas chunks with the GLOBAL pmax'd score bound must
+    reproduce dense attention (round-3 review #5)."""
+    from phenaki_tpu.parallel.ring_attention import _ring_use_flash
+
+    q, k, v = _flash_ring_setup()
+    bias = rand(13, 2, 128, 128) * 0.3
+    mask = jnp.asarray(np.random.RandomState(1).rand(1, 128) > 0.2)
+    mesh = make_mesh(jax.devices()[:2], tp=1)  # sp=2 -> 64 local rows
+    assert _ring_use_flash(64, 16)  # this test must exercise the flash path
+
+    dense = qk_norm_attention(
+        q, k, v, attn_bias=bias, key_mask=mask, allow_flash=False
+    )
+    ring = sequence_sharded_attention(
+        q, k, v, mesh, attn_bias=bias, key_mask=mask
+    )
+    np.testing.assert_allclose(np.asarray(ring), np.asarray(dense), atol=2e-5)
+
+
+def test_flash_ring_matches_dense_causal(interpret_pallas):
+    """Causal masking via runtime (q, k) offsets in SMEM: each rotation's
+    chunk sees its true global positions."""
+    q, k, v = _flash_ring_setup()
+    mesh = make_mesh(jax.devices()[:2], tp=1)
+
+    dense = qk_norm_attention(q, k, v, causal=True, allow_flash=False)
+    ring = sequence_sharded_attention(q, k, v, mesh, causal=True)
+    np.testing.assert_allclose(np.asarray(ring), np.asarray(dense), atol=2e-5)
+
+
+def test_flash_ring_grads_match_dense(interpret_pallas):
+    """The chunk custom-VJP (raw-accumulator cotangents riding the standard
+    backward kernels with do=ca, delta=-cl, lse=c2*ln2) must reproduce the
+    dense gradients for q, k, v AND the bias."""
+    q, k, v = _flash_ring_setup()
+    bias = rand(14, 2, 128, 128) * 0.3
+    mesh = make_mesh(jax.devices()[:2], tp=1)
+
+    def loss_ring(q, k, v, bias):
+        out = sequence_sharded_attention(q, k, v, mesh, attn_bias=bias)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_dense(q, k, v, bias):
+        out = qk_norm_attention(q, k, v, attn_bias=bias, allow_flash=False)
+        return jnp.sum(jnp.sin(out))
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_dense = jax.grad(loss_dense, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b_ in zip(g_ring, g_dense):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)
+
+
+def test_flash_ring_null_kv_matches_dense(interpret_pallas):
+    """Null keys/values (replicated learned params) fold into the ring as an
+    extra local block — sequence sharding no longer excludes null-KV."""
+    q, k, v = _flash_ring_setup()
+    nkv = 2
+    null_k = rand(15, 1, 2, nkv, 16) * 0.5
+    null_v = rand(16, 1, 2, nkv, 16)
+    mesh = make_mesh(jax.devices()[:2], tp=1)
+
+    k_full = jnp.concatenate([null_k, k], axis=2)
+    v_full = jnp.concatenate([null_v, v], axis=2)
+    dense = qk_norm_attention(q, k_full, v_full, allow_flash=False)
+    ring = sequence_sharded_attention(
+        q, k, v, mesh, null_k=null_k, null_v=null_v
+    )
+    np.testing.assert_allclose(np.asarray(ring), np.asarray(dense), atol=2e-5)
+
+
+def test_xla_ring_null_kv_matches_dense():
+    """The XLA online-softmax ring supports null-KV too (small local rows
+    route here)."""
+    q, k, v = setup()  # n=64 over sp=8 -> 8 local rows -> XLA path
+    nkv = 2
+    null_k = rand(17, 2, 2, nkv, 16) * 0.5
+    null_v = rand(18, 2, 2, nkv, 16)
+    mesh = make_mesh(tp=1)
+
+    k_full = jnp.concatenate([null_k, k], axis=2)
+    v_full = jnp.concatenate([null_v, v], axis=2)
+    dense = qk_norm_attention(q, k_full, v_full, allow_flash=False)
+    ring = sequence_sharded_attention(
+        q, k, v, mesh, null_k=null_k, null_v=null_v
+    )
+    np.testing.assert_allclose(np.asarray(ring), np.asarray(dense), atol=2e-5)
