@@ -35,6 +35,17 @@ microbatch axis is sharded over it — each dp row runs an INDEPENDENT
 pipeline over its m/dp local microbatches (batch m%(dp*?) constraint:
 num_microbatches must divide by dp). Gradient all-reduce over dp happens
 outside, in the optimizer step, exactly as for plain dp.
+
+Tensor parallelism composes too: when the mesh also has a 'tp' axis (> 1),
+each stage's layer body runs MANUAL Megatron TP — the stacked params are
+column-repacked (parallel/tp_inference.pack_tp_params, differentiable pure
+reshapes, so it sits inside the training loss) and each tp rank holds 1/tp
+of the heads / GEGLU columns, completing attention/FF outputs with one psum
+over 'tp' per block. The per-head attn bias (CPB) is sliced per rank by the
+shard_map spec. Activations stay replicated over tp between blocks, so the
+ppermute stage rotation is unchanged. Dropout draws the SAME stream on every
+tp rank of a (dp, pp) position (masks are per-rank-shard local; the pipeline
+stream already differs from the sequential path by construction).
 """
 
 from __future__ import annotations
@@ -51,6 +62,7 @@ from phenaki_tpu.models.transformer import Transformer, TransformerLayer
 from phenaki_tpu.ops.norms import LayerNorm
 
 PIPE_AXIS = "pp"
+MODEL_AXIS = "tp"
 
 
 def make_pipeline_mesh(
@@ -98,7 +110,8 @@ def pipeline_transformer_apply(
     same order); only the schedule differs. Batch must divide
     num_microbatches; depth must divide mesh.shape['pp']. With
     `deterministic=False`, `dropout_rng` drives attention/FF dropout (see
-    module docstring for the stream layout)."""
+    module docstring for the stream layout). A 'tp' mesh axis > 1 runs each
+    stage's layer body tensor-parallel (module docstring)."""
     assert transformer.scan_layers, "pipeline needs scan_layers=True params"
     assert PIPE_AXIS in mesh.shape, f"mesh lacks a '{PIPE_AXIS}' axis"
     stages = mesh.shape[PIPE_AXIS]
@@ -134,9 +147,42 @@ def pipeline_transformer_apply(
     # their trunks here), where a bare construction would be intercepted as
     # a submodule assignment outside setup
     cfg = transformer._layer_config(mb_video_shape, deterministic)
-    layer_mod = TransformerLayer(**cfg, parent=None)
 
     stacked = params["layers_scan"]
+
+    # tensor parallelism: each stage's layer body runs as the LOCAL head /
+    # GEGLU-column shard (module docstring). Params are repacked so a
+    # contiguous 1/tp column slice keeps (k|v) / (a|g) pairs on one rank;
+    # the repack is pure differentiable reshapes, safe inside a loss.
+    tp = mesh.shape.get(MODEL_AXIS, 1)
+    bias_spec = P()
+    if tp > 1:
+        from phenaki_tpu.ops.feedforward import ff_inner_dim
+        from phenaki_tpu.parallel.tp_inference import (
+            pack_tp_params,
+            tp_param_specs,
+        )
+
+        assert cfg["heads"] % tp == 0, (
+            f"heads ({cfg['heads']}) must divide tp ({tp})"
+        )
+        assert not cfg["causal"], (
+            "causal ALiBi slopes are not head-sliced per tp rank yet"
+        )
+        inner = cfg["ff_inner_dim"] or ff_inner_dim(cfg["dim"], cfg["ff_mult"])
+        cfg.update(
+            heads=cfg["heads"] // tp,
+            tp_axis=MODEL_AXIS,
+            ff_inner_dim=-(-inner // tp),  # ceil: per-rank (padded) width
+        )
+        stacked = pack_tp_params(stacked, tp)
+        if attn_bias is not None:
+            assert attn_bias.shape[0] % tp == 0, (
+                f"bias heads ({attn_bias.shape[0]}) % tp ({tp})"
+            )
+            bias_spec = P(MODEL_AXIS, *([None] * (attn_bias.ndim - 1)))
+
+    layer_mod = TransformerLayer(**cfg, parent=None)
     T = m_local + stages - 1
 
     # broadcast (non-pipelined) per-microbatch args: biases are shared,
@@ -156,9 +202,21 @@ def pipeline_transformer_apply(
         else None
     )
 
-    stacked_specs = jax.tree_util.tree_map(
-        lambda v: P(PIPE_AXIS, *([None] * (v.ndim - 1))), stacked
-    )
+    if tp > 1:
+        # tp specs on the packed trailing dims, depth (dim 0) over 'pp'
+        def _pp_tp_spec(spec: P, v) -> P:
+            entries = list(spec) + [None] * (v.ndim - len(spec))
+            assert entries[0] is None, "depth axis collided with a tp spec"
+            entries[0] = PIPE_AXIS
+            return P(*entries)
+
+        stacked_specs = jax.tree_util.tree_map(
+            _pp_tp_spec, tp_param_specs(stacked, tp, axis=MODEL_AXIS), stacked
+        )
+    else:
+        stacked_specs = jax.tree_util.tree_map(
+            lambda v: P(PIPE_AXIS, *([None] * (v.ndim - 1))), stacked
+        )
 
     def run(local_stacked, x_mb, attn_bias, ctx_mb, sam_mb, ccm_mb, drop_rng):
         s = jax.lax.axis_index(PIPE_AXIS)
@@ -236,7 +294,7 @@ def pipeline_transformer_apply(
     specs_in = (
         stacked_specs,
         mb_spec,  # microbatch axis sharded over dp (replicated over pp)
-        P(),  # biases shared
+        bias_spec,  # per-head bias: head dim sliced per tp rank (P() else)
         mb_spec if ctx_mb is not None else None,
         mb_spec if sam_mb is not None else None,
         mb_spec if ccm_mb is not None else None,

@@ -183,8 +183,12 @@ class PhenakiTrainer:
                 "pipeline parallelism needs MaskGit(scan_layers=True)"
                 " (stacked per-layer params shard over 'pp')"
             )
-            assert self.mesh.shape.get(MODEL_AXIS, 1) == 1, (
-                "pp does not compose with tp yet"
+            # composes with tp: the pipeline's layer body runs manual
+            # Megatron TP per stage (parallel/pipeline.py module docstring);
+            # heads must divide the tp axis
+            tp_size = self.mesh.shape.get(MODEL_AXIS, 1)
+            assert phenaki.maskgit.heads % tp_size == 0, (
+                f"heads ({phenaki.maskgit.heads}) % tp ({tp_size})"
             )
             assert phenaki.maskgit.depth % pp_size == 0
             phenaki.pipeline_mesh = self.mesh
