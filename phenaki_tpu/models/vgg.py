@@ -112,3 +112,22 @@ def load_torch_state_dict(state_dict: Dict[str, Any]) -> Dict:
             "bias": jnp.asarray(np.asarray(state_dict[f"{tkey}.bias"])),
         }
     return {"params": params}
+
+
+def load_vgg16_from_file(path: str) -> Dict:
+    """Real-weights file loader (round-3 review #3): a torchvision VGG16
+    state-dict file (.pth) -> VGG16Features params. Fetch once on a
+    connected machine:
+
+        python -c "import torchvision, torch; \
+            torch.save(torchvision.models.vgg16(weights='IMAGENET1K_V1')\
+            .state_dict(), 'vgg16.pth')"
+
+    then pass `CViViTTrainer(vgg_params=load_vgg16_from_file('vgg16.pth'))`
+    or set PHENAKI_VGG16_PATH=/path/to/vgg16.pth (picked up by the trainer
+    when perceptual_mode='vgg' and no explicit params are given)."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    state = {k: v.numpy() for k, v in state.items()}
+    return load_torch_state_dict(state)

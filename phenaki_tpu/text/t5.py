@@ -28,6 +28,7 @@ are fed to the jitted model as plain arrays):
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 from typing import List, Optional, Sequence
 
@@ -35,6 +36,28 @@ import numpy as np
 
 MAX_LENGTH = 256
 DEFAULT_T5_NAME = "google/t5-v1_1-base"
+
+
+def resolve_t5_source(name: str) -> str:
+    """Resolve a model name to what `from_pretrained` should load.
+
+    Real-weights file path support (round-3 review #3): `name` may be a
+    local DIRECTORY containing a downloaded checkpoint (config.json +
+    model weights + spiece.model), or the env var `PHENAKI_T5_PATH` may
+    point at one — it then overrides hub names so existing configs pick up
+    the real weights without code changes. Fetch the assets once on any
+    connected machine:
+
+        huggingface-cli download google/t5-v1_1-base \
+            --local-dir /path/to/t5-v1_1-base
+        export PHENAKI_T5_PATH=/path/to/t5-v1_1-base
+    """
+    if os.path.isdir(name):
+        return name
+    env = os.environ.get("PHENAKI_T5_PATH")
+    if env and os.path.isdir(env):
+        return env
+    return name
 
 # d_model for common T5 checkpoints — avoids a network fetch of the config
 # (reference get_encoded_dim consults T5Config, t5.py:46-60)
@@ -53,16 +76,19 @@ _ENCODERS: dict = {}
 
 
 def get_encoded_dim(name: str = DEFAULT_T5_NAME) -> int:
-    if name in T5_EMBED_DIMS:
+    source = resolve_t5_source(name)
+    if source == name and name in T5_EMBED_DIMS:
         return T5_EMBED_DIMS[name]
-    try:  # local transformers cache, no egress
+    try:  # local directory or transformers cache, no egress
         from transformers import T5Config
 
-        return T5Config.from_pretrained(name, local_files_only=True).d_model
-    except Exception as exc:  # noqa: BLE001
+        return T5Config.from_pretrained(source, local_files_only=True).d_model
+    except Exception:  # noqa: BLE001
+        if name in T5_EMBED_DIMS:
+            return T5_EMBED_DIMS[name]
         raise ValueError(
             f"unknown t5 name {name!r} and no local config cached"
-        ) from exc
+        ) from None
 
 
 class HashTextEncoder:
@@ -110,9 +136,10 @@ class _HFT5Encoder:
         import torch
         from transformers import T5EncoderModel, T5Tokenizer
 
+        source = resolve_t5_source(name)
         self.torch = torch
-        self.tokenizer = T5Tokenizer.from_pretrained(name, local_files_only=True)
-        self.model = T5EncoderModel.from_pretrained(name, local_files_only=True)
+        self.tokenizer = T5Tokenizer.from_pretrained(source, local_files_only=True)
+        self.model = T5EncoderModel.from_pretrained(source, local_files_only=True)
         self.model.eval()
 
     def __call__(self, texts: Sequence[str]) -> np.ndarray:

@@ -276,15 +276,20 @@ def convert_hf_state_dict(
 
 
 def load_hf_t5(name: str, dtype: jnp.dtype = jnp.float32):
-    """Load a locally cached HF T5 checkpoint into (module, variables, cfg).
-    Requires the weights in the local transformers cache (zero-egress safe:
-    local_files_only). Raises if absent."""
+    """Load a local HF T5 checkpoint into (module, variables, cfg).
+    `name` may be a hub name resolved against the local transformers cache
+    OR a directory of downloaded weight files (incl. via PHENAKI_T5_PATH —
+    see text/t5.resolve_t5_source). Zero-egress safe: local_files_only.
+    Raises if absent."""
     from transformers import T5Config as HFT5Config
     from transformers import T5EncoderModel
 
-    hf_cfg = HFT5Config.from_pretrained(name, local_files_only=True)
+    from phenaki_tpu.text.t5 import resolve_t5_source
+
+    source = resolve_t5_source(name)
+    hf_cfg = HFT5Config.from_pretrained(source, local_files_only=True)
     cfg = T5EncoderConfig.from_hf(hf_cfg)
-    hf_model = T5EncoderModel.from_pretrained(name, local_files_only=True)
+    hf_model = T5EncoderModel.from_pretrained(source, local_files_only=True)
     variables = convert_hf_state_dict(hf_model.state_dict(), cfg)
     module = T5EncoderStack(cfg, dtype=dtype)
     return module, variables, cfg
@@ -299,7 +304,12 @@ class JaxT5Encoder:
     def __init__(self, name: str, max_length: int = 256, dtype=jnp.float32):
         from transformers import AutoTokenizer
 
-        self.tokenizer = AutoTokenizer.from_pretrained(name, local_files_only=True)
+        from phenaki_tpu.text.t5 import resolve_t5_source
+
+        source = resolve_t5_source(name)
+        self.tokenizer = AutoTokenizer.from_pretrained(
+            source, local_files_only=True
+        )
         self.module, self.variables, self.cfg = load_hf_t5(name, dtype=dtype)
         self._apply = jax.jit(
             lambda ids, mask: self.module.apply(self.variables, ids, mask)

@@ -124,6 +124,18 @@ class CViViTTrainer:
         self.use_vgg_and_gan = use_vgg_and_gan
         self.use_hinge_loss = use_hinge_loss
         assert perceptual_mode in ("vgg", "disc", "none"), perceptual_mode
+        if not exists(vgg_params) and perceptual_mode == "vgg":
+            # real-weights hook (round-3 review #3): a torchvision VGG16
+            # state-dict file supplied out of band (models/vgg.py). Gated on
+            # an explicit perceptual_mode="vgg" so merely having the env var
+            # set never silently overrides the measured "disc" default.
+            import os
+
+            vgg_path = os.environ.get("PHENAKI_VGG16_PATH")
+            if vgg_path and os.path.isfile(vgg_path):
+                from phenaki_tpu.models.vgg import load_vgg16_from_file
+
+                vgg_params = load_vgg16_from_file(vgg_path)
         if exists(vgg_params):
             perceptual_mode = "vgg"  # explicit (converted) weights win
         self.perceptual_mode = perceptual_mode
