@@ -60,29 +60,111 @@ def install_reference_stubs() -> bool:
 
     btv.Is = _Is
 
-    # torchvision: only constructors/transform shells are touched at import
+    # torchvision: model constructors are shells, but the TRANSFORMS are
+    # FUNCTIONAL (PIL + torch reimplementations of torchvision semantics) —
+    # the GAN-parity harness (examples/quality_parity_gan.py) runs the
+    # reference's own VideoDataset/gif_to_tensor data path through them
+    # (reference data.py:118-124, 213-219)
+    import torch as _torch
+
     tv = _mod("torchvision", pkg=True)
     tvm = _mod("torchvision.models")
     tv.models = tvm
     tvm.vgg16 = lambda **kw: None
     tvt = _mod("torchvision.transforms")
     tv.transforms = tvt
-    for n in [
-        "Compose", "Resize", "RandomHorizontalFlip", "CenterCrop",
-        "ToTensor", "Lambda",
-    ]:
-        setattr(
-            tvt,
-            n,
-            type(
-                n,
-                (),
-                {
-                    "__init__": lambda self, *a, **k: None,
-                    "__call__": lambda self, x: x,
-                },
-            ),
-        )
+
+    class _Compose:
+        def __init__(self, transforms):
+            self.transforms = transforms
+
+        def __call__(self, x):
+            for t in self.transforms:
+                x = t(x)
+            return x
+
+    class _Resize:
+        # torchvision: int size -> shorter side = size, keep aspect;
+        # (h, w) -> exact
+        def __init__(self, size, **kw):
+            self.size = size
+
+        def __call__(self, img):
+            w, h = img.size
+            if isinstance(self.size, (tuple, list)):
+                th, tw = self.size
+            elif w <= h:
+                tw = self.size
+                th = max(1, round(h * self.size / w))
+            else:
+                th = self.size
+                tw = max(1, round(w * self.size / h))
+            from PIL import Image as _Image
+
+            return img.resize((tw, th), _Image.BILINEAR)
+
+    class _CenterCrop:
+        def __init__(self, size):
+            self.size = (size, size) if isinstance(size, int) else tuple(size)
+
+        def __call__(self, img):
+            w, h = img.size
+            th, tw = self.size
+            left = int(round((w - tw) / 2))
+            top = int(round((h - th) / 2))
+            return img.crop((left, top, left + tw, top + th))
+
+    class _ToTensor:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, img):
+            import numpy as _np
+
+            arr = _np.asarray(img, dtype=_np.uint8)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            return (
+                _torch.from_numpy(arr.transpose(2, 0, 1).copy()).float()
+                / 255.0
+            )
+
+    class _RandomHorizontalFlip:
+        def __init__(self, p=0.5):
+            self.p = p
+
+        def __call__(self, img):
+            if float(_torch.rand(())) < self.p:
+                from PIL import Image as _Image
+
+                return img.transpose(_Image.FLIP_LEFT_RIGHT)
+            return img
+
+    class _Lambda:
+        def __init__(self, fn):
+            self.fn = fn
+
+        def __call__(self, x):
+            return self.fn(x)
+
+    class _ToPILImage:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, t):
+            import numpy as _np
+            from PIL import Image as _Image
+
+            arr = t.detach().cpu().clamp(0, 1).mul(255).byte().numpy()
+            return _Image.fromarray(arr.transpose(1, 2, 0))
+
+    tvt.Compose = _Compose
+    tvt.Resize = _Resize
+    tvt.CenterCrop = _CenterCrop
+    tvt.ToTensor = _ToTensor
+    tvt.RandomHorizontalFlip = _RandomHorizontalFlip
+    tvt.Lambda = _Lambda
+    tvt.ToPILImage = _ToPILImage
     tvu = _mod("torchvision.utils")
     tv.utils = tvu
     tvu.save_image = lambda *a, **k: None
