@@ -257,6 +257,98 @@ def main():
         return
 
     # ------------------------------------------------------------------ #
+    # 1b. d_head=128 TPU-flagship MaskGit (round-3 review #6): same param  #
+    #     budget (4 heads x 128 = 8 x 64) but the QK contraction fills     #
+    #     the MXU's full 128 depth. Reference default stays dim_head=64    #
+    #     (cvivit.py:238); this row records what the TPU-shaped config     #
+    #     actually buys for sampling and training.                        #
+    # ------------------------------------------------------------------ #
+    _stage("d_head=128 flagship bench")
+    maskgit128 = MaskGit(
+        dim=512,
+        num_tokens=65536,
+        max_seq_len=n_tokens,
+        depth=6,
+        heads=4,
+        dim_head=128,
+        dim_context=768,
+        scan_layers=True,
+        dtype=dtype,
+    )
+    phenaki128 = Phenaki(
+        maskgit=maskgit128,
+        cvivit=cvivit,
+        cvivit_vars=cvivit_vars,
+        steps=steps,
+        text_embed_dim=768,
+        max_text_len=128,
+    )
+    phenaki128.init(jax.random.PRNGKey(3))
+    jax.block_until_ready(phenaki128.params)
+    dt128 = _time_steady(
+        lambda i: phenaki128.sample(
+            num_frames=num_frames,
+            text_embeds=text_embeds,
+            cond_scale=5.0,
+            rng=jax.random.PRNGKey(i),
+        ),
+        iters=10,
+    )
+    flops_sample128 = steps * (
+        _maskgit_fwd_flops(2, n_tokens, heads=4, dh=128)
+        + _vocab_proj_flops(1, n_tokens)
+    )
+    _emit(
+        "sampled_frames_per_sec_dhead128_17f_256x128_18steps",
+        num_frames / dt128,
+        "frames/s/chip",
+        vs_baseline=(num_frames / dt128) / target,
+        mfu=_mfu(flops_sample128, dt128),
+    )
+
+    # d_head=128 train-step gradient work (loss fwd+bwd, jitted)
+    videos_tr128 = jax.jit(
+        lambda k: jax.random.uniform(k, (4, num_frames, 256, 128, 3), dtype)
+    )(jax.random.PRNGKey(4))
+    ctx_tr128 = jax.jit(
+        lambda k: jax.random.normal(k, (4, 128, 768), jnp.float32)
+    )(jax.random.PRNGKey(5))
+    jax.block_until_ready((videos_tr128, ctx_tr128))
+
+    @jax.jit
+    def loss_grad128(p, k, v, c):
+        def f(p2):
+            loss, _ = phenaki128.loss(
+                p2, k, videos=v, text_embeds=c, train=True,
+                cvivit_vars=cvivit_vars,
+            )
+            return loss
+
+        return jax.grad(f)(p)
+
+    g = loss_grad128(
+        phenaki128.params, jax.random.PRNGKey(0), videos_tr128, ctx_tr128
+    )
+    jax.block_until_ready(g)
+    dt128t = _time_steady(
+        lambda i: loss_grad128(
+            phenaki128.params, jax.random.PRNGKey(i), videos_tr128, ctx_tr128
+        ),
+        iters=6,
+    )
+    train_flops128 = 3 * (
+        _maskgit_fwd_flops(4, n_tokens, heads=4, dh=128)
+        + _vocab_proj_flops(4, n_tokens)
+    )
+    _emit(
+        "maskgit_loss_fwd_bwd_ms_dhead128_b4",
+        dt128t * 1e3,
+        "ms",
+        mfu=_mfu(train_flops128, dt128t),
+    )
+    del phenaki128, maskgit128, g
+
+    # ------------------------------------------------------------------ #
     # 2. C-ViViT tokenize throughput (B=32, device-resident pixels)       #
     # ------------------------------------------------------------------ #
     _stage("tokenize bench")
