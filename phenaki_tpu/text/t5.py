@@ -134,11 +134,13 @@ class _HFT5Encoder:
 
     def __init__(self, name: str):
         import torch
-        from transformers import T5EncoderModel, T5Tokenizer
+        from transformers import T5EncoderModel
+
+        from phenaki_tpu.text.spm_tokenizer import load_t5_tokenizer
 
         source = resolve_t5_source(name)
         self.torch = torch
-        self.tokenizer = T5Tokenizer.from_pretrained(source, local_files_only=True)
+        self.tokenizer = load_t5_tokenizer(source)
         self.model = T5EncoderModel.from_pretrained(source, local_files_only=True)
         self.model.eval()
 

@@ -302,14 +302,13 @@ class JaxT5Encoder:
     unavailable."""
 
     def __init__(self, name: str, max_length: int = 256, dtype=jnp.float32):
-        from transformers import AutoTokenizer
-
+        from phenaki_tpu.text.spm_tokenizer import load_t5_tokenizer
         from phenaki_tpu.text.t5 import resolve_t5_source
 
         source = resolve_t5_source(name)
-        self.tokenizer = AutoTokenizer.from_pretrained(
-            source, local_files_only=True
-        )
+        # AutoTokenizer when usable; sentencepiece-free spiece.model
+        # conversion otherwise (spm_tokenizer.py)
+        self.tokenizer = load_t5_tokenizer(source, max_length=max_length)
         self.module, self.variables, self.cfg = load_hf_t5(name, dtype=dtype)
         self._apply = jax.jit(
             lambda ids, mask: self.module.apply(self.variables, ids, mask)
