@@ -71,6 +71,7 @@ class _Request:
         "scene_texts",
         "scene_num_frames",
         "prime_lengths",
+        "prime_video",
     )
 
     def __init__(
@@ -81,6 +82,7 @@ class _Request:
         scene_texts=None,
         scene_num_frames=None,
         prime_lengths=None,
+        prime_video=None,
     ):
         self.text = text
         self.text_embeds = text_embeds
@@ -90,6 +92,10 @@ class _Request:
         self.scene_texts = scene_texts
         self.scene_num_frames = scene_num_frames
         self.prime_lengths = prime_lengths
+        # client-uploaded (f, H, W, c) frames priming scene 0 — the serving
+        # face of the reference's prime_frames continuation
+        # (phenaki_pytorch.py:440-447): continue an EXISTING video
+        self.prime_video = prime_video
         self.future: Future = Future()
 
     def expired(self) -> bool:
@@ -97,11 +103,15 @@ class _Request:
 
     def signature(self):
         """Launch-compatibility key: requests in one device launch must share
-        the compiled program structure (scene count, frames, prime lengths).
-        Single-scene requests all share the default signature."""
+        the compiled program structure (scene count, frames, prime lengths,
+        uploaded-prime shape). Single-scene requests all share the default
+        signature."""
         if self.scene_texts is None:
             return None
-        return (self.scene_num_frames, self.prime_lengths)
+        prime_shape = (
+            None if self.prime_video is None else tuple(self.prime_video.shape)
+        )
+        return (self.scene_num_frames, self.prime_lengths, prime_shape)
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -198,6 +208,7 @@ class PhenakiServer:
         texts: Sequence[str],
         num_frames=None,
         prime_lengths=5,
+        prime_video=None,
         deadline: Optional[float] = None,
     ) -> Future:
         """Enqueue a multi-scene `make_video` request (the reference's
@@ -208,12 +219,16 @@ class PhenakiServer:
 
         `num_frames`: int or per-scene sequence (default: the server's
         single-scene `num_frames` for every scene). `prime_lengths`: int or
-        per-(scene-gap) sequence of length len(texts)-1.
+        per-(scene-gap) sequence of length len(texts)-1. `prime_video`:
+        optional (f, H, W, c) float [0,1] or uint8 frames the client already
+        has — scene 0 continues FROM them (the reference's prime_frames
+        path, phenaki_pytorch.py:440-447), so a client can extend a
+        previously generated or uploaded video.
 
-        Requests sharing the same (num_frames, prime_lengths) structure batch
-        into one sequence of device launches (one per scene); differing
-        structures run as separate launches since they compile to different
-        programs."""
+        Requests sharing the same (num_frames, prime_lengths, prime shape)
+        structure batch into one sequence of device launches (one per
+        scene); differing structures run as separate launches since they
+        compile to different programs."""
         texts = list(texts)
         assert len(texts) >= 1, "need at least one scene prompt"
         n_scenes = len(texts)
@@ -229,6 +244,12 @@ class PhenakiServer:
         assert len(prime_lengths) == n_scenes - 1, (
             "prime_lengths must have one entry per scene transition"
         )
+        if prime_video is not None:
+            prime_video = np.asarray(prime_video)
+            if prime_video.dtype == np.uint8:
+                prime_video = prime_video.astype(np.float32) / 255.0
+            prime_video = prime_video.astype(np.float32)
+            assert prime_video.ndim == 4, "prime_video must be (f, H, W, c)"
         deadline_ts = None if deadline is None else time.monotonic() + deadline
         req = _Request(
             None,
@@ -237,6 +258,7 @@ class PhenakiServer:
             scene_texts=texts,
             scene_num_frames=num_frames,
             prime_lengths=prime_lengths,
+            prime_video=prime_video,
         )
         return self._admit(req)
 
@@ -442,7 +464,15 @@ class PhenakiServer:
         scene_num_frames = batch[0].scene_num_frames
         prime_lengths = (*batch[0].prime_lengths, 0)  # last scene: no prime
 
+        # client-uploaded prime for scene 0 (same shape across the group —
+        # it is part of the launch signature); pad rows to the bucket
         video_prime = None
+        if batch[0].prime_video is not None:
+            video_prime = np.stack([r.prime_video for r in batch])
+            if bucket != n:
+                pad = np.repeat(video_prime[-1:], bucket - n, axis=0)
+                video_prime = np.concatenate([video_prime, pad], axis=0)
+            video_prime = jnp.asarray(video_prime)
         scenes = []
         for s, (frames, next_prime) in enumerate(
             zip(scene_num_frames, prime_lengths)
@@ -507,6 +537,18 @@ def _video_to_gif_b64(video: np.ndarray) -> str:
             return base64.b64encode(f.read()).decode()
 
 
+def _gif_b64_to_video(b64: str) -> np.ndarray:
+    """Inverse of `_video_to_gif_b64`: base64 GIF -> (f, H, W, c) float32."""
+    from phenaki_tpu.data.codecs import gif_to_tensor
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "v.gif")
+        with open(path, "wb") as f:
+            f.write(base64.b64decode(b64))
+        return np.asarray(gif_to_tensor(path), np.float32)
+
+
 def serve_http(
     server: PhenakiServer,
     port: int = 8089,
@@ -558,11 +600,22 @@ def serve_http(
                     )
                 else:
                     # multi-scene make_video: {"texts": [...],
-                    # "num_frames": int|[...], "prime_lengths": int|[...]}
+                    # "num_frames": int|[...], "prime_lengths": int|[...],
+                    # "prime_video_b64": optional base64 GIF whose last
+                    # frames prime scene 0 — continue an uploaded video}
+                    prime_video = None
+                    if payload.get("prime_video_b64"):
+                        prime_video = _gif_b64_to_video(
+                            payload["prime_video_b64"]
+                        )
+                        n_prime = payload.get("prime_frames")
+                        if n_prime:  # client may send more frames than used
+                            prime_video = prime_video[-int(n_prime):]
                     future = server.submit_video(
                         payload["texts"],
                         num_frames=payload.get("num_frames"),
                         prime_lengths=payload.get("prime_lengths", 5),
+                        prime_video=prime_video,
                         deadline=request_timeout,
                     )
                 video = future.result(timeout=request_timeout)

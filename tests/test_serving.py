@@ -14,6 +14,8 @@ from phenaki_tpu.models.maskgit import MaskGit
 from phenaki_tpu.models.phenaki import Phenaki
 from phenaki_tpu.serving import PhenakiServer, serve_http
 
+pytestmark = pytest.mark.slow  # big compiles / loops: not in the quick tier
+
 TEXT_DIM = 16
 
 
@@ -339,4 +341,159 @@ def test_server_prewarm_compiles_buckets(tiny_phenaki):
         v = server.submit(text_embeds=emb).result(timeout=300)
         assert v.shape == (3, 16, 16, 3)
     finally:
+        server.close()
+
+
+def test_http_generate_video_with_uploaded_prime(tiny_phenaki):
+    """Round-4 review #8: a client continues from frames it UPLOADS — two
+    chained scenes over HTTP where scene 0 is primed on a client GIF."""
+    import base64
+    import io
+    import json
+    import os
+    import tempfile
+    import urllib.request
+
+    from phenaki_tpu.data.codecs import video_tensor_to_gif
+
+    # the client-side video to continue from (any past generation/upload)
+    prime = np.random.RandomState(5).rand(3, 16, 16, 3).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "p.gif")
+        video_tensor_to_gif(prime, path)
+        prime_b64 = base64.b64encode(open(path, "rb").read()).decode()
+
+    server = PhenakiServer(
+        tiny_phenaki, num_frames=3, cond_scale=2.0, batch_buckets=(1,),
+        max_delay_ms=1.0,
+    )
+    port = 18911
+    t = threading.Thread(
+        target=serve_http, args=(server, port), kwargs={"max_requests": 1},
+        daemon=True,
+    )
+    t.start()
+    time.sleep(0.3)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate_video",
+            data=json.dumps(
+                {
+                    "texts": ["continue this video", "then pan away"],
+                    # scene 0 is PRIMED (on the upload) so its new frames
+                    # must be a multiple of temporal_patch_size (2)
+                    "num_frames": [4, 4],
+                    "prime_lengths": 1,
+                    "prime_video_b64": prime_b64,
+                    "prime_frames": 1,  # use the last uploaded frame
+                }
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            payload = json.loads(r.read())
+        assert "video_gif_b64" in payload
+        # decode the returned GIF: 3 + 4 chained frames, client prime excluded
+        from phenaki_tpu.serving import _gif_b64_to_video
+
+        video = _gif_b64_to_video(payload["video_gif_b64"])
+        assert video.shape == (8, 16, 16, 3)
+    finally:
+        t.join(timeout=10)
+        server.close()
+
+
+def test_submit_video_uploaded_prime_coalesces(tiny_phenaki):
+    """Two submit_video requests with SAME-shape uploaded primes share the
+    per-scene launches; the prime shape is part of the launch signature."""
+    rs = np.random.RandomState(7)
+    prime_a = rs.rand(1, 16, 16, 3).astype(np.float32)
+    prime_b = rs.rand(1, 16, 16, 3).astype(np.float32)
+    server = PhenakiServer(
+        tiny_phenaki, num_frames=3, cond_scale=2.0, batch_buckets=(1, 2),
+        max_delay_ms=500.0, seed=9,
+    )
+    try:
+        f1 = server.submit_video(
+            ["go left"], num_frames=(4,), prime_lengths=(), prime_video=prime_a
+        )
+        f2 = server.submit_video(
+            ["go right"], num_frames=(4,), prime_lengths=(), prime_video=prime_b
+        )
+        v1, v2 = f1.result(timeout=600), f2.result(timeout=600)
+        assert v1.shape == (4, 16, 16, 3) and v2.shape == (4, 16, 16, 3)
+        assert not np.allclose(v1, v2)
+        # same (frames, prime-shape) signature -> one coalesced launch
+        assert any(n == 2 for n, _ in server.launch_log), server.launch_log
+    finally:
+        server.close()
+
+
+@pytest.fixture(scope="module")
+def tiny_phenaki_critic():
+    """Critic-guided decode (TokenCritic re-masking scores) behind the
+    server — the reference's `critic` sampling path served over HTTP."""
+    from phenaki_tpu.models.maskgit import TokenCritic
+
+    cvivit = CViViT(
+        dim=32, codebook_size=64, image_size=16, patch_size=8,
+        temporal_patch_size=2, spatial_depth=1, temporal_depth=1,
+        dim_head=16, heads=2,
+    )
+    cvivit_vars = cvivit.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 16, 16, 3)))
+    maskgit = MaskGit(
+        dim=32, num_tokens=64, max_seq_len=16, depth=1, heads=2, dim_head=16,
+        dim_context=TEXT_DIM,
+    )
+    critic = TokenCritic(
+        dim=32, num_tokens=64, max_seq_len=16, depth=1, heads=2, dim_head=16,
+        has_cross_attn=True, dim_context=TEXT_DIM,
+    )
+    ph = Phenaki(
+        maskgit=maskgit, cvivit=cvivit, cvivit_vars=cvivit_vars, critic=critic,
+        steps=2, text_embed_dim=TEXT_DIM, max_text_len=4,
+    )
+    ph.init(jax.random.PRNGKey(1))
+    return ph
+
+
+def test_http_with_token_critic(tiny_phenaki_critic):
+    """TokenCritic-guided sampling end-to-end through the HTTP front end:
+    /generate (single scene) and /generate_video (chained scenes)."""
+    import json
+    import urllib.request
+
+    server = PhenakiServer(
+        tiny_phenaki_critic, num_frames=3, cond_scale=2.0, batch_buckets=(1,),
+        max_delay_ms=1.0,
+    )
+    port = 18913
+    t = threading.Thread(
+        target=serve_http, args=(server, port), kwargs={"max_requests": 2},
+        daemon=True,
+    )
+    t.start()
+    time.sleep(0.3)
+    try:
+        for path, body in (
+            ("/generate", {"text": "a critic-scored square"}),
+            (
+                "/generate_video",
+                {
+                    "texts": ["scene one", "scene two"],
+                    "num_frames": [3, 4],
+                    "prime_lengths": 1,
+                },
+            ),
+        ):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                payload = json.loads(r.read())
+            assert "video_gif_b64" in payload, (path, payload)
+    finally:
+        t.join(timeout=10)
         server.close()
