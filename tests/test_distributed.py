@@ -111,6 +111,7 @@ print("WORKER_OK", flush=True)
 """
 
 
+@pytest.mark.slow  # subprocess cluster spin-up + trainer compile
 def test_two_process_cpu_training_smoke(tmp_path):
     """2 jax processes (local distributed cluster), 2 CPU devices each ->
     4-device dp mesh; the actual trainer runs 2 steps with per-process data

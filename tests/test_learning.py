@@ -17,6 +17,8 @@ from phenaki_tpu.models.phenaki import Phenaki
 from phenaki_tpu.training.optimizer import get_optimizer
 from phenaki_tpu.utils.metrics import psnr, reconstruction_psnr
 
+pytestmark = pytest.mark.slow  # big compiles / loops: not in the quick tier
+
 
 def test_cvivit_overfits_one_batch():
     """30 recon-only steps on one batch: loss must drop and PSNR must rise."""

@@ -23,6 +23,8 @@ from phenaki_tpu.ops.attention import qk_norm_attention
 from phenaki_tpu.ops.norms import l2norm
 from phenaki_tpu.ops.positional import alibi_bias
 
+pytestmark = pytest.mark.slow  # big compiles / loops: not in the quick tier
+
 
 @pytest.fixture(autouse=True)
 def interpret_mode(monkeypatch):

@@ -13,6 +13,8 @@ import pytest
 
 import phenaki_tpu.ops.pallas_ce as pce
 
+pytestmark = pytest.mark.slow  # big compiles / loops: not in the quick tier
+
 
 @pytest.fixture(autouse=True)
 def interpret_mode(monkeypatch):

@@ -15,6 +15,8 @@ import pytest
 
 import phenaki_tpu.ops.pallas_sampling as ps
 
+pytestmark = pytest.mark.slow  # big compiles / loops: not in the quick tier
+
 
 @pytest.fixture(autouse=True)
 def interpret_mode(monkeypatch):

@@ -19,9 +19,12 @@ from phenaki_tpu.parallel.mesh import (
 )
 from phenaki_tpu.training.optimizer import get_optimizer
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs 8 virtual devices"
+    ),
+]
 
 PATCH_SHAPE = (2, 2, 2)
 

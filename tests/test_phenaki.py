@@ -13,6 +13,8 @@ from phenaki_tpu.models.cvivit import CViViT
 from phenaki_tpu.models.maskgit import MaskGit, TokenCritic
 from phenaki_tpu.models.phenaki import Phenaki, make_video
 
+pytestmark = pytest.mark.slow  # big compiles / loops: not in the quick tier
+
 TEXT_DIM = 16
 
 

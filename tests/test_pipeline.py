@@ -13,9 +13,12 @@ from phenaki_tpu.parallel.pipeline import (
     pipeline_transformer_apply,
 )
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs 8 virtual devices"
+    ),
+]
 
 DIM, DEPTH, HEADS, DH = 32, 4, 2, 16
 CTX_DIM = 16

@@ -17,9 +17,12 @@ from _reference_stubs import install_reference_stubs
 
 _HAS_REF = install_reference_stubs()
 
-pytestmark = pytest.mark.skipif(
-    not _HAS_REF, reason="reference checkout not available"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not _HAS_REF, reason="reference checkout not available"
+    ),
+]
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402

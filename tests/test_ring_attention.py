@@ -10,9 +10,12 @@ from phenaki_tpu.ops.attention import qk_norm_attention
 from phenaki_tpu.parallel.mesh import make_mesh
 from phenaki_tpu.parallel.ring_attention import sequence_sharded_attention
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs 8 virtual devices"
+    ),
+]
 
 
 def rand(key, *shape):

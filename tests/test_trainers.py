@@ -12,6 +12,8 @@ from phenaki_tpu.models.cvivit import CViViT
 from phenaki_tpu.models.maskgit import MaskGit
 from phenaki_tpu.models.phenaki import Phenaki
 
+pytestmark = pytest.mark.slow  # big compiles / loops: not in the quick tier
+
 
 def tiny_cvivit():
     return CViViT(
