@@ -45,10 +45,16 @@ def _stage(msg: str) -> None:
 
 
 def _fetch_scalar(x) -> None:
-    """Honest completion barrier: read one element of a device array."""
+    """Honest completion barrier: read one element of a device array.
+
+    Accepts any pytree (e.g. a gradient dict) — all outputs of one jitted
+    executable complete together, so reading one leaf's first element
+    blocks until the whole program (including the rest of the backward)
+    has finished."""
     import jax
 
-    np.asarray(jax.device_get(x.ravel()[0]))
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0]))
 
 
 def _time_median(fn, iters: int = 8):
