@@ -53,12 +53,23 @@ def _inputs(key):
     return q, k, v
 
 
-def _time_injit(fn, q, k, v, reps=24):
-    """Median-free steady timing: lax.scan over `reps` body evaluations with
-    a per-iteration scalar perturbation so XLA cannot hoist the body; one
-    device fetch total."""
+def _time_injit(fn, q, k, v, reps=64):
+    """In-jit timing with an honest completion barrier.
+
+    `lax.scan` over the body with a per-iteration scalar perturbation so
+    XLA cannot hoist it; the barrier FETCHES the scalar result
+    (`device_get`) because on the axon tunnel backend
+    `block_until_ready` returns as soon as the execute RPC is enqueued —
+    a bare-barrier timing here measures dispatch, not the kernel (bench.py
+    `_fetch_scalar` has the same workaround). The fetch rides one ~28 ms
+    tunnel round trip, which at this kernel's ~0.1 ms scale would swamp
+    the measurement, so we time at `reps` and `3*reps` and difference:
+    per-rep = (t(3r) - t(r)) / (2r), cancelling the RTT and any fixed
+    dispatch cost exactly.
+    """
     import jax
     import jax.numpy as jnp
+    import numpy as _np
     from jax import lax
 
     @jax.jit
@@ -70,13 +81,20 @@ def _time_injit(fn, q, k, v, reps=24):
         s, _ = lax.scan(body, jnp.float32(0), scales)
         return s
 
-    scales = (1.0 + jnp.arange(reps, dtype=jnp.bfloat16) * 1e-6).astype(
-        jnp.bfloat16
-    )
-    jax.block_until_ready(run(q, k, v, scales))  # compile + warm
-    t0 = time.perf_counter()
-    jax.block_until_ready(run(q, k, v, scales))
-    return (time.perf_counter() - t0) / reps
+    def once(n):
+        scales = (1.0 + jnp.arange(n, dtype=jnp.float32) * 1e-4).astype(
+            jnp.bfloat16
+        )
+        _np.asarray(jax.device_get(run(q, k, v, scales)))  # compile + warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _np.asarray(jax.device_get(run(q, k, v, scales)))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_r, t_3r = once(reps), once(3 * reps)
+    return max(t_3r - t_r, 0.0) / (2 * reps)
 
 
 def main_tpu():
