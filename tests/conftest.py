@@ -31,11 +31,23 @@ import hashlib
 
 
 def _host_cache_tag() -> str:
+    # Key by the flags line AND the model identity lines. Flags alone cover
+    # the SIGILL case (real ISA mismatch after a VM migration); the model
+    # lines additionally separate hosts whose CPUID flags match but whose
+    # XLA:CPU model heuristics (LLVM tuning features) differ. Note the
+    # loader's "prefer-no-gather/-scatter not supported" warning is NOT
+    # migration evidence: it reproduces on a same-host reload of an entry
+    # compiled seconds earlier (tuning pseudo-features are compared against
+    # raw host CPUID, which never lists them) and is benign.
     try:
         with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+            keyed = [
+                line
+                for line in f
+                if line.startswith(("flags", "model name", "cpu family", "model"))
+            ]
+        if keyed:
+            return hashlib.sha1("".join(sorted(set(keyed))).encode()).hexdigest()[:10]
     except OSError:
         pass
     import platform
