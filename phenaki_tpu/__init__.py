@@ -36,6 +36,10 @@ _EXPORTS = {
     "convert_cvivit_state_dict": "phenaki_tpu.convert",
     "convert_maskgit_state_dict": "phenaki_tpu.convert",
     "convert_token_critic_state_dict": "phenaki_tpu.convert",
+    "flagship_cvivit": "phenaki_tpu.presets",
+    "flagship_maskgit": "phenaki_tpu.presets",
+    "flagship_token_critic": "phenaki_tpu.presets",
+    "flagship_phenaki": "phenaki_tpu.presets",
 }
 
 
@@ -60,4 +64,8 @@ __all__ = [
     "convert_cvivit_state_dict",
     "convert_maskgit_state_dict",
     "convert_token_critic_state_dict",
+    "flagship_cvivit",
+    "flagship_maskgit",
+    "flagship_token_critic",
+    "flagship_phenaki",
 ]
