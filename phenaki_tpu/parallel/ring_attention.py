@@ -238,12 +238,25 @@ def ring_flash_qk_attention(
     return (raw[..., :d] / l).astype(q.dtype)
 
 
-def _ring_use_flash(local_rows: int, dim_head: int) -> bool:
+# Ring-length crossover for the flash path. The flash ring unrolls its
+# rotation loop statically (one Pallas launch per step keeps the causal
+# offsets runtime SMEM scalars), which multiplies compiled-program size by
+# the ring length — measured at sp=8: 6.2 s / 308.5 KB optimized HLO vs the
+# XLA fori_loop ring's 0.61 s / 35.3 KB (examples/ring_timing.py
+# --cpu-compile). The growth is linear in sp, so past this cap we route to
+# the XLA online-softmax ring, whose program size is sp-independent. At
+# such ring lengths each chip's K/V block is small and the attend is
+# ppermute-latency-bound anyway, so the kernel advantage has thinned.
+FLASH_RING_MAX_SP = 16
+
+
+def _ring_use_flash(local_rows: int, dim_head: int, sp: int = 1) -> bool:
     """Same gating as the dense path (ops/attention.py _use_flash): TPU (or
-    test interpret mode), dim_head that fits a VMEM block, enough local rows."""
+    test interpret mode), dim_head that fits a VMEM block, enough local rows,
+    and a ring short enough that the static unroll stays cheap."""
     from phenaki_tpu.ops import pallas_attention as pa
 
-    if dim_head > 128 or local_rows < 64:
+    if dim_head > 128 or local_rows < 64 or sp > FLASH_RING_MAX_SP:
         return False
     if pa._INTERPRET:
         return True
@@ -288,7 +301,7 @@ def sequence_sharded_attention(
 
     ring_fn = (
         ring_flash_qk_attention
-        if _ring_use_flash(n // sp, q.shape[-1])
+        if _ring_use_flash(n // sp, q.shape[-1], sp)
         else ring_qk_norm_attention
     )
     fn = functools.partial(

@@ -292,3 +292,24 @@ def test_xla_ring_null_kv_matches_dense():
         q, k, v, mesh, null_k=null_k, null_v=null_v
     )
     np.testing.assert_allclose(np.asarray(ring), np.asarray(dense), atol=2e-5)
+
+
+def test_flash_ring_sp_crossover(interpret_pallas, monkeypatch):
+    """Past FLASH_RING_MAX_SP the wrapper must route to the XLA fori_loop
+    ring (sp-independent program size; the flash unroll grows linearly in
+    sp — measured 10x HLO at sp=8, examples/ring_timing.py --cpu-compile),
+    and the numerics must stay identical to dense."""
+    from phenaki_tpu.parallel import ring_attention as ra
+
+    # selection logic: flash below the cap, XLA ring above it
+    assert ra._ring_use_flash(64, 16, sp=ra.FLASH_RING_MAX_SP)
+    assert not ra._ring_use_flash(64, 16, sp=ra.FLASH_RING_MAX_SP + 1)
+
+    # force the crossover at sp=2 and check the XLA path's numerics ride
+    # through the same wrapper unchanged
+    monkeypatch.setattr(ra, "FLASH_RING_MAX_SP", 1)
+    q, k, v = _flash_ring_setup()
+    mesh = make_mesh(jax.devices()[:2], tp=1)  # sp=2 > cap -> XLA ring
+    dense = qk_norm_attention(q, k, v, allow_flash=False)
+    ring = sequence_sharded_attention(q, k, v, mesh)
+    np.testing.assert_allclose(np.asarray(ring), np.asarray(dense), atol=2e-5)
