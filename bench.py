@@ -151,8 +151,64 @@ def _jit_cost_flops(jitted, *args, **kwargs):
         return None
 
 
+_PROBE_SRC = """
+import jax, jax.numpy as jnp, numpy as np
+x = jnp.ones((128, 128), jnp.bfloat16)
+np.asarray(jax.device_get((x @ x).sum()))
+"""
+
+
+def _wait_for_backend(
+    max_wait_s: float = float(os.environ.get("BENCH_MAX_BACKEND_WAIT", 1200.0)),
+) -> None:
+    """Wait out a wedged tunnel grant before touching the device.
+
+    A previously killed in-flight client can wedge the axon grant
+    server-side for tens of minutes; a jax client launched during the
+    wedge hangs inside backend init, where no in-process timeout can
+    reach it. So probe from a KILL-ABLE subprocess with backoff and only
+    let this process initialize its backend once a probe succeeds. Costs
+    one ~10 s probe on a healthy backend; on an unrecovered wedge, gives
+    up after `max_wait_s` and proceeds (the real run then surfaces the
+    hang to the caller's own timeout)."""
+    import subprocess
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                timeout=90,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    _stage(f"backend recovered on probe {attempt}")
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print(
+                f"[bench] backend probe still failing after {attempt} tries /"
+                f" {max_wait_s:.0f}s — proceeding anyway",
+                file=sys.stderr,
+                flush=True,
+            )
+            return
+        print(
+            f"[bench] backend probe {attempt} failed (wedged grant?); retrying",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(min(30.0 * attempt, 120.0))
+
+
 def main():
     full = "--full" in sys.argv
+
+    _wait_for_backend()
 
     import jax
 
@@ -162,8 +218,6 @@ def main():
 
     import jax.numpy as jnp
 
-    from phenaki_tpu.models.cvivit import CViViT
-    from phenaki_tpu.models.maskgit import MaskGit, TokenCritic
     from phenaki_tpu.models.phenaki import Phenaki
     from phenaki_tpu.utils.jit_init import jit_init
 
@@ -174,19 +228,10 @@ def main():
     # canonical sample config (reference README.md:94-108 / BASELINE.json):
     # cvivit dim 512, 256x128 images, patch 16 (-> 16x8 token grid),
     # temporal patch 2 (-> 9 latent frames, 1152 tokens); maskgit depth 6.
-    cvivit = CViViT(
-        dim=512,
-        codebook_size=65536,
-        image_size=(256, 128),
-        patch_size=16,
-        temporal_patch_size=2,
-        spatial_depth=4,
-        temporal_depth=4,
-        dim_head=64,
-        heads=8,
-        scan_layers=True,
-        dtype=dtype,
-    )
+    # Built from the package presets so the benchmark IS the preset.
+    from phenaki_tpu.presets import flagship_cvivit, flagship_maskgit
+
+    cvivit = flagship_cvivit(dtype=dtype)
     rng = jax.random.PRNGKey(0)
 
     _stage("init cvivit")
@@ -195,17 +240,7 @@ def main():
     _stage("cvivit init done")
 
     n_tokens = cvivit.num_tokens_per_frames(num_frames)  # 1152
-    maskgit = MaskGit(
-        dim=512,
-        num_tokens=65536,
-        max_seq_len=n_tokens,
-        depth=6,
-        heads=8,
-        dim_head=64,
-        dim_context=768,
-        scan_layers=True,
-        dtype=dtype,
-    )
+    maskgit = flagship_maskgit(max_seq_len=n_tokens, dtype=dtype)
     phenaki = Phenaki(
         maskgit=maskgit,
         cvivit=cvivit,
@@ -270,17 +305,7 @@ def main():
     #     actually buys for sampling and training.                        #
     # ------------------------------------------------------------------ #
     _stage("d_head=128 flagship bench")
-    maskgit128 = MaskGit(
-        dim=512,
-        num_tokens=65536,
-        max_seq_len=n_tokens,
-        depth=6,
-        heads=4,
-        dim_head=128,
-        dim_context=768,
-        scan_layers=True,
-        dtype=dtype,
-    )
+    maskgit128 = flagship_maskgit(tpu_native=True, max_seq_len=n_tokens, dtype=dtype)
     phenaki128 = Phenaki(
         maskgit=maskgit128,
         cvivit=cvivit,
@@ -519,18 +544,9 @@ def main():
     # 5. sampling with TokenCritic (extra critic CFG forward per step)    #
     # ------------------------------------------------------------------ #
     _stage("critic sampling bench")
-    critic = TokenCritic(
-        dim=512,
-        num_tokens=65536,
-        max_seq_len=n_tokens,
-        depth=6,
-        heads=8,
-        dim_head=64,
-        has_cross_attn=True,
-        dim_context=768,
-        scan_layers=True,
-        dtype=dtype,
-    )
+    from phenaki_tpu.presets import flagship_token_critic
+
+    critic = flagship_token_critic(max_seq_len=n_tokens, dtype=dtype)
     phenaki_c = Phenaki(
         maskgit=maskgit,
         cvivit=cvivit,
