@@ -53,6 +53,69 @@ def _aggregate_xplane(path: str):
     return totals
 
 
+def _aggregate_trace_json(path: str):
+    """Fallback aggregator over the Chrome-trace .trace.json.gz the profiler
+    writes next to the xplane.pb (environments without the xplane proto
+    bindings). Device-side lanes carry '/device:TPU' process names (thread
+    names like 'XLA Ops'); complete events ('ph' == 'X') give duration in
+    microseconds. Self time at XLA-op granularity — TPU op events don't
+    nest, matching the xplane path."""
+    import gzip
+
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", data if isinstance(data, list) else [])
+
+    # map pid -> process name, (pid, tid) -> thread name from metadata events
+    proc = {}
+    thread = {}
+    for ev in events:
+        if ev.get("ph") == "M":
+            if ev.get("name") == "process_name":
+                proc[ev.get("pid")] = ev.get("args", {}).get("name", "")
+            elif ev.get("name") == "thread_name":
+                thread[(ev.get("pid"), ev.get("tid"))] = ev.get("args", {}).get(
+                    "name", ""
+                )
+
+    # unlike xplane TPU-op lanes, chrome-trace events NEST (jit_* and while.*
+    # parents span their children), so compute SELF time per thread with an
+    # interval stack: a child's duration is subtracted from its parent's.
+    by_thread = defaultdict(list)
+    for ev in events:
+        if ev.get("ph") != "X":
+            continue
+        pname = proc.get(ev.get("pid"), "")
+        if "TPU" not in pname and "device" not in pname.lower():
+            continue
+        tname = thread.get((ev.get("pid"), ev.get("tid")), "").lower()
+        if "step" in tname or "sample" in tname or "module" in tname:
+            continue  # step/sample/module lanes double-count the op lanes
+        by_thread[(ev.get("pid"), ev.get("tid"))].append(
+            (
+                float(ev.get("ts", 0.0)),
+                float(ev.get("dur", 0.0)),
+                ev.get("name", "?"),
+            )
+        )
+
+    totals = defaultdict(float)  # name -> total SELF duration ps
+    for evs in by_thread.values():
+        evs.sort(key=lambda e: (e[0], -e[1]))
+        stack = []  # (end_ts, name, self_dur_us) — mutable via list entries
+        def pop_until(ts):
+            while stack and stack[-1][0] <= ts + 1e-9:
+                end, name, self_us = stack.pop()
+                totals[name] += self_us * 1e6  # us -> ps
+        for ts, dur, name in evs:
+            pop_until(ts)
+            if stack:
+                stack[-1][2] -= dur  # child time is not parent self time
+            stack.append([ts + dur, name, dur])
+        pop_until(float("inf"))
+    return totals
+
+
 CATEGORIES = (
     ("pallas_attention", ("flash", "_bwd_dq", "_bwd_dkv", "_bwd_dbias")),
     ("dus_stash", ("dynamic-update-slice", "dynamic_update_slice")),
@@ -135,10 +198,18 @@ def main():
         np.asarray(jax.device_get(jax.tree_util.tree_leaves(outs[-1])[0]))
 
     planes = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))
-    if not planes:
-        print(json.dumps({"error": f"no xplane.pb under {trace_dir}"}))
+    jsons = sorted(
+        glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    )
+    if not planes and not jsons:
+        print(json.dumps({"error": f"no trace artifacts under {trace_dir}"}))
         return
-    totals = _aggregate_xplane(planes[-1])
+    try:
+        totals = _aggregate_xplane(planes[-1]) if planes else None
+    except ImportError:
+        totals = None
+    if totals is None:
+        totals = _aggregate_trace_json(jsons[-1])
 
     by_cat = defaultdict(float)
     for name, ps in totals.items():
