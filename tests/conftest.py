@@ -13,9 +13,17 @@ import os
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in _flags:
+    # Cap XLA:CPU codegen at AVX2 so persistently-cached AOT executables
+    # are PORTABLE across fleet hosts. These VMs LIVE-migrate (observed:
+    # same boot_id, identical /proc/cpuinfo, yet a previously-green cache
+    # entry abort()s mid-suite on the new physical host) — no host
+    # fingerprint can key that, so make the code host-independent instead.
+    # Tests are compile-bound, not compute-bound; the AVX512/AMX loss is
+    # noise here.
+    _flags = (_flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
@@ -23,10 +31,13 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 
 # persistent compilation cache: repeated test runs skip XLA recompiles.
-# Keyed by the HOST's CPU features: XLA:CPU AOT executables bake in the
-# compile machine's ISA (avx512 variants etc.) and loading one on a
-# different host SIGILL/aborts ("Fatal Python error: Aborted" mid-suite) —
-# CI/driver sessions migrate between machines, so a shared dir is unsafe.
+# Keyed by the HOST's CPU features as a belt (XLA:CPU AOT executables bake
+# in the compile machine's ISA and loading one elsewhere can abort
+# mid-suite), with the AVX2 ISA cap above as the suspenders — a LIVE
+# migration preserves every host fingerprint (boot_id, cpuinfo) while
+# changing the physical CPU, so portability of the generated code is the
+# only robust defense. The cap also changes the cache key, retiring
+# entries compiled before it.
 import hashlib
 
 
